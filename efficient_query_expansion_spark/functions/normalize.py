@@ -1,0 +1,227 @@
+"""Text normalization — the canonical tokenizer-normalizer.
+
+Reproduces, bit-for-bit, the observable behavior of the reference's
+``normalize_text.py:17-133`` (NFD unicode fold -> ASCII -> control-char
+strip -> space/newline collapse -> non-alphanumeric strip -> lower),
+re-expressed as vectorized pandas (Arrow) UDFs for Spark. Every
+downstream operator (tokenize, stats, postings, BM25, expansion)
+consumes only this normal form, so the per-turn text-equality
+invariant holds engine-wide.
+
+Two layers:
+
+* ``*_py`` pure-Python functions — the executable specification, used
+  by unit-test oracles and driver-side query parsing.
+* ``*_udf`` pandas UDFs — the distributed path (pandas ``.str``
+  vectorized ops over Arrow batches; no per-row Python loop).
+* ``normalize_text_sql`` — an ANSI-SQL rendering of the same pipeline
+  for ASCII-clean input, used to express DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+from pyspark.sql.types import StringType
+
+# Regexes taken verbatim from the reference (normalize_text.py:5-14);
+# they operate on ASCII-only text (after the fold) in both impls.
+_REX_CONTROL = r"[\x00-\x09\x0E-\x19][\x00-\x09\x0E-\x20]*"
+_REX_SPACES = r"[ ]{2,}"
+_REX_NEWLINES = r"[ ]?[\n\x0A-\x0D][\n\x0A-\x0D ]*"
+_REX_NON_ALNUM = r"[ ]?[^ 0-9a-zA-Z][^0-9a-zA-Z]*"
+_REX_HYPHENS = "[\\-\\_\\.•]"
+
+_rex_control = re.compile(_REX_CONTROL)
+_rex_spaces = re.compile(_REX_SPACES)
+_rex_newlines = re.compile(_REX_NEWLINES)
+_rex_non_alnum = re.compile(_REX_NON_ALNUM)
+_rex_hyphens = re.compile(_REX_HYPHENS)
+_rex_camel = re.compile(r"(?<=[a-z])(?=[A-Z])")
+
+
+# ---------------------------------------------------------------------------
+# pure-Python specification (reference parity: normalize_text.py:17-59)
+# ---------------------------------------------------------------------------
+
+def normalize_text_step_1_py(text: str) -> str:
+    text = unicodedata.normalize("NFD", text)
+    text = text.encode("ascii", "ignore").decode("ascii")
+    text = _rex_control.sub(" ", text)
+    text = _rex_spaces.sub(" ", text)
+    text = _rex_newlines.sub("\n", text)
+    return text.strip()
+
+
+def normalize_text_step_2_py(text: str) -> str:
+    text = _rex_non_alnum.sub(" ", text)
+    return text.lower().strip()
+
+
+def normalize_text_py(text: str) -> str:
+    return normalize_text_step_2_py(normalize_text_step_1_py(text))
+
+
+def normalize_hyphens_py(text: str) -> str:
+    """Join hyphenated/dotted words before normalizing ("wi-fi" -> "wifi")."""
+    return normalize_text_py(_rex_hyphens.sub("", normalize_text_step_1_py(text)))
+
+
+def normalize_multiword_py(text: str) -> str:
+    """Split CamelCase ("PlayStation" -> "play station") then normalize.
+
+    The reference inserts a space before an uppercase letter preceded by
+    a lowercase letter (normalize_text.py:51-59); after the ASCII fold
+    of step 1 that is exactly the ``(?<=[a-z])(?=[A-Z])`` boundary.
+    """
+    text = normalize_text_step_1_py(text)
+    return normalize_text_step_2_py(_rex_camel.sub(" ", text))
+
+
+def normalize_aliases_raw_py(
+    aliases_raw: Iterable[str],
+    ampersand: bool = True,
+    hyphens: bool = True,
+    multiword: bool = True,
+    acronyms: bool = True,
+) -> set[str]:
+    """Alias-variant expansion (reference normalize_text.py:62-133).
+
+    '&' alternatives, hyphen-joined and CamelCase-split variants, and
+    acronym completion (add the spaced acronym iff the collapsed one is
+    already an alias, and vice versa).
+    """
+    aliases: set[str] = set()
+    for alias_raw in aliases_raw:
+        raw_support = {alias_raw}
+        if ampersand and "&" in alias_raw:
+            parts = alias_raw.strip().split("&")
+            raw_support.update(
+                [
+                    " ".join(parts),
+                    "".join(parts),
+                    " and ".join(parts),
+                    " n ".join(parts),
+                    "n".join(parts),
+                ]
+            )
+        support = set()
+        for raw in raw_support:
+            support.add(normalize_text_py(raw))
+            if hyphens:
+                support.add(normalize_hyphens_py(raw))
+            if multiword:
+                support.add(normalize_multiword_py(raw))
+        aliases.update(support)
+
+    if acronyms:
+        extra = set()
+        for alias in aliases:
+            if " " not in alias:
+                continue
+            initials = [
+                letter
+                for i, letter in enumerate(alias)
+                if i == 0 or (alias[i - 1] == " " and letter != " ")
+            ]
+            collapsed, spaced = "".join(initials), " ".join(initials)
+            if collapsed in aliases:
+                if spaced not in aliases:
+                    extra.add(spaced)
+            elif spaced in aliases:
+                extra.add(collapsed)
+        aliases.update(extra)
+
+    aliases.discard("")
+    assert all("  " not in alias for alias in aliases)
+    return aliases
+
+
+def acronym_of_py(alias: str) -> str:
+    """Collapsed acronym of a normalized multiword alias ("wi fi" -> "wf")."""
+    return "".join(w[0] for w in alias.split(" ") if w)
+
+
+# ---------------------------------------------------------------------------
+# vectorized pandas (Arrow) UDFs — the distributed path
+# ---------------------------------------------------------------------------
+
+def _step1_series(s: pd.Series) -> pd.Series:
+    s = s.fillna("")
+    s = s.str.normalize("NFD")
+    s = s.str.encode("ascii", "ignore").str.decode("ascii")
+    s = s.str.replace(_REX_CONTROL, " ", regex=True)
+    s = s.str.replace(_REX_SPACES, " ", regex=True)
+    s = s.str.replace(_REX_NEWLINES, "\n", regex=True)
+    return s.str.strip()
+
+
+def _step2_series(s: pd.Series) -> pd.Series:
+    s = s.str.replace(_REX_NON_ALNUM, " ", regex=True)
+    return s.str.lower().str.strip()
+
+
+@F.pandas_udf(StringType())
+def normalize_text_udf(s: pd.Series) -> pd.Series:
+    return _step2_series(_step1_series(s))
+
+
+@F.pandas_udf(StringType())
+def normalize_hyphens_udf(s: pd.Series) -> pd.Series:
+    return _step2_series(_step1_series(s).str.replace(_REX_HYPHENS, "", regex=True))
+
+
+@F.pandas_udf(StringType())
+def normalize_multiword_udf(s: pd.Series) -> pd.Series:
+    return _step2_series(
+        _step1_series(s).str.replace(r"(?<=[a-z])(?=[A-Z])", " ", regex=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL rendering (for DuckDB oracles over ASCII-clean corpora)
+# ---------------------------------------------------------------------------
+
+def normalize_text_sql(col: str, dialect: str = "duckdb") -> str:
+    """SQL equivalent of ``normalize_text`` for input already free of
+    non-ASCII codepoints (true of the synthetic ``documents`` table).
+
+    Spark's ``regexp_replace`` replaces all matches by default; DuckDB
+    needs the ``'g'`` option — hence the dialect switch. Semantics are
+    identical.
+    """
+    g = ", 'g'" if dialect == "duckdb" else ""
+
+    def rr(expr: str, pat: str, rep: str) -> str:
+        if dialect != "duckdb":
+            # Spark SQL string literals process backslash escapes;
+            # DuckDB standard strings do not.
+            pat = pat.replace("\\", "\\\\")
+        return f"regexp_replace({expr}, '{pat}', {rep}{g})"
+
+    step1 = "trim({})".format(
+        rr(rr(rr(col, _REX_CONTROL, "' '"), _REX_SPACES, "' '"),
+           _REX_NEWLINES, "chr(10)")
+    )
+    return f"trim(lower({rr(step1, _REX_NON_ALNUM, chr(39) + ' ' + chr(39))}))"
+
+
+def normalize_text_col(col: Column) -> Column:
+    """Pure-JVM Column version (whole-stage-codegen'd, no Python) for
+    ASCII-clean input; the UDF remains the canonical general path.
+    """
+    step1 = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(col, _REX_CONTROL, " "), _REX_SPACES, " "
+            ),
+            _REX_NEWLINES,
+            "\n",
+        )
+    )
+    return F.trim(F.lower(F.regexp_replace(step1, _REX_NON_ALNUM, " ")))
