@@ -1,0 +1,777 @@
+"""Driver-contract query registry: SURVEY.md §2 operators as
+(spark_fn, duckdb_oracle_sql) pairs over the /root/testdata tables.
+
+Every entry's Spark side is engine code (DataFrame plans / Arrow
+UDFs); the oracle side is hand-written DuckDB SQL with identical
+semantics. Column names and rounding are aligned on both sides
+because the driver hashes values after sorting columns by name.
+
+Operator IDs in entry docstrings refer to SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from efficient_query_expansion_spark.functions.normalize import (
+    normalize_text_sql,
+)
+from efficient_query_expansion_spark.operators import stats as S
+from efficient_query_expansion_spark.operators import bm25 as BM
+from efficient_query_expansion_spark.operators import postings as P
+from efficient_query_expansion_spark.operators import tokenize as TK
+
+DOC = "documents"
+
+# fixed term sets (from the closed synthetic vocabulary) keeping
+# restricted pair/triple oracles bounded
+PAIR_TERMS = ("key", "agg", "row", "scan", "slow", "fast")
+STOPLIKE = ("a", "the")
+
+BM25_QUERIES = {
+    0: [[[("join",), ("merge",)], [("fast",)]]],
+    1: [[[("spark",)], [("window",), ("stream",)]]],
+    2: [[[("customer",), ("data",)]]],
+    3: [[[("slow",)], [("scan",)], [("table",)]]],
+    4: [[[("dup",)]]],
+    5: [[[("key",), ("hash",)], [("agg",), ("group",)]]],
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{DOC}.parquet")
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + canonical normalization + tokens (doc key: doc_id).
+
+    The synthetic corpus is ASCII-clean so the JVM fast path is exact
+    (equivalence with the UDF proven in tests/test_normalize.py).
+    """
+    return TK.with_tokens(
+        TK.with_norm_text(_docs(spark, sf_dir), ascii_fast_path=True)
+    )
+
+
+_NORM = normalize_text_sql("text", "duckdb")
+
+# shared DuckDB CTE: tokenized documents
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, t.toks[g.i] AS term, g.i - 1 AS pos
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks
+        FROM documents) t,
+  LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g
+  WHERE t.toks[g.i] <> ''
+)
+"""
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def register(name: str, fn, sql: str | None):
+    REGISTRY[name] = (fn, sql)
+
+
+# ---------------------------------------------------------------------------
+# P1-P3 — canonical normalization
+# ---------------------------------------------------------------------------
+
+def q_normalize(spark, sf_dir):
+    """P1-P3: normalize_text over documents (JVM pipeline)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TK.normalize_text_col(F.col("text")).alias("norm_text"),
+    )
+
+
+register(
+    "p1_p3_normalize",
+    q_normalize,
+    f"SELECT doc_id, {_NORM} AS norm_text FROM documents",
+)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — term stats; A5 — global scalars; A8 — distinct
+# ---------------------------------------------------------------------------
+
+def q_term_stats(spark, sf_dir):
+    """A1+A2: per-term df/tf/tf² (term_stats operator)."""
+    pos = TK.token_positions(_docs_tokens(spark, sf_dir), doc_key=["doc_id"])
+    return S.term_stats(pos, doc_key=["doc_id"]).orderBy("term")
+
+
+register(
+    "a2_term_stats",
+    q_term_stats,
+    f"""
+WITH {_TOKS_CTE},
+per_doc AS (
+  SELECT doc_id, term, count(*) AS tf_doc FROM toks GROUP BY 1, 2
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf_doc) AS BIGINT) AS tf,
+       CAST(sum(tf_doc * tf_doc) AS BIGINT) AS tf2
+FROM per_doc GROUP BY term ORDER BY term
+""",
+)
+
+
+def q_global_scalars(spark, sf_dir):
+    """A5: single-row corpus summary."""
+    toks = _docs_tokens(spark, sf_dir)
+    pos = TK.token_positions(toks, doc_key=["doc_id"])
+    return S.global_scalars(toks, S.term_stats(pos, doc_key=["doc_id"]))
+
+
+register(
+    "a5_global_scalars",
+    q_global_scalars,
+    f"""
+WITH {_TOKS_CTE}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS num_docs,
+       CAST(count(DISTINCT term) AS BIGINT) AS num_keys,
+       CAST(count(*) AS BIGINT) AS key_frequency_sum
+FROM toks
+""",
+)
+
+
+def q_distinct_terms(spark, sf_dir):
+    """A8: dictionary of distinct terms (dictionary-encode source, J3)."""
+    pos = TK.token_positions(_docs_tokens(spark, sf_dir), doc_key=["doc_id"])
+    return pos.select("term").distinct().orderBy("term")
+
+
+register(
+    "a8_distinct_terms",
+    q_distinct_terms,
+    f"WITH {_TOKS_CTE} SELECT DISTINCT term FROM toks ORDER BY term",
+)
+
+
+# ---------------------------------------------------------------------------
+# A3/W1/J7 — windowed pair co-occurrence
+# ---------------------------------------------------------------------------
+
+def q_pair_stats(spark, sf_dir):
+    """A3+W1+J7: windowed (<=12) pair stats, JVM shifted-zip scan."""
+    toks = _docs_tokens(spark, sf_dir)
+    return S.pair_stats(toks, window_pairs=12, doc_key=["doc_id"]).select(
+        "t1", "t2", "window_df", "window_tf", "window_tf2",
+        "window_min_dist",
+    )
+
+
+register(
+    "a3_pair_window_stats",
+    q_pair_stats,
+    f"""
+WITH {_TOKS_CTE},
+occ AS (
+  SELECT a.doc_id,
+         least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2,
+         b.pos - a.pos - 1 AS gap
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos < 12
+),
+per_doc AS (
+  SELECT doc_id, t1, t2, count(*) AS w, min(gap) AS min_gap
+  FROM occ GROUP BY 1, 2, 3
+)
+SELECT t1, t2, CAST(count(*) AS BIGINT) AS window_df,
+       CAST(sum(w) AS BIGINT) AS window_tf,
+       CAST(sum(w * w) AS BIGINT) AS window_tf2,
+       CAST(min(min_gap) AS INT) AS window_min_dist
+FROM per_doc GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# A4/W2/J8 — windowed triple co-occurrence (restricted, P13)
+# ---------------------------------------------------------------------------
+
+def q_triple_stats(spark, sf_dir):
+    """A4+W2+J8+P13: restricted triple stats via banded self-joins."""
+    toks = _docs_tokens(spark, sf_dir)
+    pos = TK.token_positions(toks, doc_key=["doc_id"]).where(
+        F.col("term").isin(*PAIR_TERMS)
+    )
+    return S.triple_stats(pos, window_triples=15, doc_key=["doc_id"])
+
+
+_IN = ", ".join(f"'{t}'" for t in PAIR_TERMS)
+register(
+    "a4_triple_window_stats",
+    q_triple_stats,
+    f"""
+WITH {_TOKS_CTE},
+rt AS (SELECT * FROM toks WHERE term IN ({_IN})),
+occ AS (
+  SELECT l.doc_id,
+         list_sort([l.term, m.term, r.term]) AS key,
+         (r.pos - m.pos) + (m.pos - l.pos) - 2 AS gap
+  FROM rt l
+  JOIN rt m ON m.doc_id = l.doc_id AND m.pos > l.pos
+           AND m.pos - l.pos < 14
+  JOIN rt r ON r.doc_id = l.doc_id AND r.pos > m.pos
+           AND r.pos - l.pos + 1 <= 15
+),
+per_doc AS (
+  SELECT doc_id, key[1] AS t1, key[2] AS t2, key[3] AS t3,
+         count(*) AS w, min(gap) AS min_gap
+  FROM occ GROUP BY 1, 2, 3, 4
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS window_df,
+       CAST(sum(w) AS BIGINT) AS window_tf,
+       CAST(sum(w * w) AS BIGINT) AS window_tf2,
+       CAST(min(min_gap) AS INT) AS window_min_dist
+FROM per_doc GROUP BY 1, 2, 3
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# A9 — unwindowed co-presence df (restricted)
+# ---------------------------------------------------------------------------
+
+def q_copresence(spark, sf_dir):
+    """A9+P13: restricted co-presence pair df."""
+    toks = _docs_tokens(spark, sf_dir)
+    restriction = spark.createDataFrame(
+        [
+            tuple(sorted((a, b)))
+            for i, a in enumerate(PAIR_TERMS)
+            for b in PAIR_TERMS[i + 1 :]
+        ],
+        "t1 string, t2 string",
+    )
+    full = S.pair_stats(
+        toks, window_pairs=12, doc_key=["doc_id"],
+        restriction_pairs=restriction, unwindowed_df=True,
+    )
+    return full.join(
+        F.broadcast(restriction), ["t1", "t2"], "left_semi"
+    ).select("t1", "t2", "df", "window_df")
+
+
+register(
+    "a9_copresence_pairs",
+    q_copresence,
+    f"""
+WITH {_TOKS_CTE},
+present AS (SELECT DISTINCT doc_id, term FROM toks
+            WHERE term IN ({_IN})),
+pairs AS (
+  SELECT a.doc_id, a.term AS t1, b.term AS t2
+  FROM present a JOIN present b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+),
+win AS (
+  SELECT a.doc_id, least(a.term, b.term) AS t1,
+         greatest(a.term, b.term) AS t2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos < 12
+  WHERE a.term IN ({_IN}) AND b.term IN ({_IN})
+    AND least(a.term,b.term) <> greatest(a.term,b.term)
+  GROUP BY 1, 2, 3
+)
+SELECT p.t1, p.t2, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(CASE WHEN w.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS window_df
+FROM pairs p LEFT JOIN win w
+  ON w.doc_id = p.doc_id AND w.t1 = p.t1 AND w.t2 = p.t2
+GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# A6 — merge additivity
+# ---------------------------------------------------------------------------
+
+def q_merge(spark, sf_dir):
+    """A6: two half-corpus partial stats merged == full stats."""
+    toks = _docs_tokens(spark, sf_dir)
+    lo = TK.token_positions(
+        toks.where(F.col("doc_id") % 2 == 0), doc_key=["doc_id"]
+    )
+    hi = TK.token_positions(
+        toks.where(F.col("doc_id") % 2 == 1), doc_key=["doc_id"]
+    )
+    return S.merge_term_stats(
+        S.term_stats(lo, doc_key=["doc_id"]),
+        S.term_stats(hi, doc_key=["doc_id"]),
+    ).orderBy("term")
+
+
+register(
+    "a6_merge_partial_stats",
+    q_merge,
+    REGISTRY["a2_term_stats"][1],  # merged partials == full stats
+)
+
+
+# ---------------------------------------------------------------------------
+# T4/J11/U1-U2 — BM25 CNF top-k (the flagship)
+# ---------------------------------------------------------------------------
+
+def _bm25_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, {s_i}, '{term}')"
+        for qid, repr_ in BM25_QUERIES.items()
+        for aq in repr_
+        for s_i, synset in enumerate(aq)
+        for (term, *_t) in synset
+    )
+    return f"""
+WITH {_TOKS_CTE},
+docs AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+  ) t ON d.doc_id = t.doc_id
+),
+meta AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                avg(dl) AS avg_dl FROM docs),
+q(qid, syn_pos, term) AS (VALUES {vals}),
+tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+syn_doc AS (
+  SELECT q.qid, q.syn_pos, tf.doc_id, sum(c) AS tf_s
+  FROM q JOIN tf USING (term) GROUP BY 1, 2, 3
+),
+syn_df AS (
+  SELECT qid, syn_pos, CAST(count(*) AS DOUBLE) AS df_s
+  FROM syn_doc GROUP BY 1, 2
+),
+nsyn AS (SELECT qid, count(DISTINCT syn_pos) AS ns FROM q GROUP BY 1),
+scored AS (
+  SELECT sd.qid, sd.doc_id, sd.syn_pos,
+         ln(1 + (meta.n - df_s + 0.5) / (df_s + 0.5))
+         * (tf_s / (tf_s + 0.9 * ((1.0 - 0.4)
+              + 0.4 * docs.dl / meta.avg_dl))) AS s
+  FROM syn_doc sd
+  JOIN syn_df USING (qid, syn_pos)
+  JOIN docs USING (doc_id), meta
+),
+agg AS (
+  SELECT qid, doc_id,
+         coalesce(sum(CASE WHEN syn_pos = 0 THEN s END), 0)
+       + coalesce(sum(CASE WHEN syn_pos = 1 THEN s END), 0)
+       + coalesce(sum(CASE WHEN syn_pos = 2 THEN s END), 0) AS score,
+         count(*) AS nm
+  FROM scored GROUP BY 1, 2
+),
+matched AS (
+  SELECT a.qid, a.doc_id, a.score,
+         row_number() OVER (PARTITION BY a.qid
+                            ORDER BY a.score DESC, a.doc_id) AS rank
+  FROM agg a JOIN nsyn USING (qid) WHERE a.nm = nsyn.ns
+)
+SELECT qid, doc_id, CAST(rank AS INT) AS rank,
+       round(score, 5) AS score
+FROM matched WHERE rank <= 10
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """T4+J11+U1/U2: exact CNF BM25 top-10 (relational plan).
+
+    The compressed sharded plan is asserted bit-identical to this one
+    in tests/test_bm25.py; the oracle checks the exact plan.
+    """
+    from efficient_query_expansion_spark.operators.cnf import (
+        query_reprs_to_long_df,
+    )
+
+    toks = _docs_tokens(spark, sf_dir)
+    pos = TK.token_positions(toks, doc_key=["doc_id"])
+    tdf = pos.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docs = toks.select("doc_id", F.col("n_tokens").alias("doc_len"))
+    meta = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
+    ).collect()[0]
+    qlong = query_reprs_to_long_df(spark, BM25_QUERIES)
+    out = BM.exact_topk(
+        qlong, tdf, docs, int(meta["n"]), float(meta["avg"]),
+        k=10, doc_key=["doc_id"],
+    )
+    return out.select(
+        "qid", "doc_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 5).alias("score"),
+    )
+
+
+register("t4_bm25_topk", q_bm25_topk, _bm25_sql())
+
+
+# ---------------------------------------------------------------------------
+# U5/A10 — CNF containment match counts
+# ---------------------------------------------------------------------------
+
+def q_cnf_match(spark, sf_dir):
+    """U5+A10: padded-substring CNF containment counts per strategy."""
+    from efficient_query_expansion_spark.operators.cnf import (
+        cnf_match_expr,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TK.normalize_text_col(F.col("text")).alias("nt")
+    )
+    parts = []
+    for qid, repr_ in BM25_QUERIES.items():
+        parts.append(
+            d.select(
+                F.lit(qid).alias("qid"),
+                cnf_match_expr(F.col("nt"), repr_).cast("int").alias("m"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("qid").agg(F.sum("m").alias("num_match"))
+
+
+def _cnf_match_sql() -> str:
+    selects = []
+    for qid, repr_ in BM25_QUERIES.items():
+        ors = []
+        for aq in repr_:
+            ands = []
+            for synset in aq:
+                syn = " OR ".join(
+                    f"(' ' || {_NORM} || ' ') LIKE '% {t} %'"
+                    for (t, *_x) in synset
+                )
+                ands.append(f"({syn})")
+            ors.append("(" + " AND ".join(ands) + ")")
+        cond = " OR ".join(ors)
+        selects.append(
+            f"SELECT {qid} AS qid, CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0"
+            f" END) AS BIGINT) AS num_match FROM documents"
+        )
+    return " UNION ALL ".join(selects)
+
+
+register("u5_cnf_match_counts", q_cnf_match, _cnf_match_sql())
+
+
+# ---------------------------------------------------------------------------
+# W4/T1/A11 — top-k per group; T5 — running threshold
+# ---------------------------------------------------------------------------
+
+def q_topk_group(spark, sf_dir):
+    """W4+T1+A11: top-3 events per event_type by value."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "value")
+    )
+
+
+register(
+    "w4_topk_per_group",
+    q_topk_group,
+    """
+SELECT event_type, CAST(rank AS INT) AS rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events) WHERE rank <= 3
+""",
+)
+
+
+def q_running(spark, sf_dir):
+    """T5: per-user running sum ordered by time (threshold search)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+register(
+    "t5_running_sum",
+    q_running,
+    """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — build-probe joins; U3 — set difference
+# ---------------------------------------------------------------------------
+
+def q_join_groupcount(spark, sf_dir):
+    """J1: left join + groupBy collect/count (redirect-resolution shape)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+register(
+    "j1_join_group",
+    q_join_groupcount,
+    """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS num_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+)
+
+
+def q_set_difference(spark, sf_dir):
+    """U3: users with clicks but no errors (anti-join / EXCEPT)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    errs = ev.where(F.col("event_type") == "error").select("user_id")
+    return clicks.distinct().exceptAll(errs.distinct()).orderBy("user_id")
+
+
+register(
+    "u3_set_difference",
+    q_set_difference,
+    """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# F1-F11 — scalar function family
+# ---------------------------------------------------------------------------
+
+def q_levenshtein(spark, sf_dir):
+    """F1: edit distance between all vocabulary term pairs."""
+    terms = (
+        TK.token_positions(_docs_tokens(spark, sf_dir), doc_key=["doc_id"])
+        .select("term")
+        .distinct()
+    )
+    a, b = terms.alias("a"), terms.alias("b")
+    return a.join(b, F.col("a.term") < F.col("b.term")).select(
+        F.col("a.term").alias("t1"),
+        F.col("b.term").alias("t2"),
+        F.levenshtein("a.term", "b.term").cast("int").alias("lev"),
+    )
+
+
+register(
+    "f1_levenshtein",
+    q_levenshtein,
+    f"""
+WITH {_TOKS_CTE}, terms AS (SELECT DISTINCT term FROM toks)
+SELECT a.term AS t1, b.term AS t2,
+       CAST(levenshtein(a.term, b.term) AS INT) AS lev
+FROM terms a JOIN terms b ON a.term < b.term
+""",
+)
+
+
+def q_qpp(spark, sf_dir):
+    """F4-F6: QPP features from term stats (featurizer_qpp.pyx:110,
+    154, 25-32): idf = mult/(df+1) with mult = log2(N+.5)/log2(N+1),
+    ictf = log2(cf_sum) - log2(tf), qcs = (1+log2(tf+1)) /
+    log2(1+N/(df+1)), qvar = (tf2 - tf²/df)/df.
+    """
+    toks = _docs_tokens(spark, sf_dir)
+    pos = TK.token_positions(toks, doc_key=["doc_id"])
+    ts = S.term_stats(pos, doc_key=["doc_id"])
+    meta = S.global_scalars(toks, ts).collect()[0]
+    n = float(meta["num_docs"])
+    cf = float(meta["key_frequency_sum"])
+    mult = F.log2(F.lit(n + 0.5)) / F.log2(F.lit(n + 1.0))
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    tf2d = F.col("tf2").cast("double")
+    return ts.select(
+        "term",
+        F.round(mult / (dfd + 1.0), 6).alias("idf"),
+        F.round(F.log2(F.lit(cf)) - F.log2(tfd), 6).alias("ictf"),
+        F.round(
+            (1.0 + F.log2(tfd + 1.0))
+            / F.log2(1.0 + F.lit(n) / (dfd + 1.0)),
+            6,
+        ).alias("qcs"),
+        F.round((tf2d - tfd * tfd / dfd) / dfd, 6).alias("qvar"),
+    )
+
+
+register(
+    "f5_f6_qpp_features",
+    q_qpp,
+    f"""
+WITH {_TOKS_CTE},
+per_doc AS (SELECT doc_id, term, count(*) AS tf_doc
+            FROM toks GROUP BY 1, 2),
+ts AS (SELECT term, CAST(count(*) AS DOUBLE) AS df,
+              CAST(sum(tf_doc) AS DOUBLE) AS tf,
+              CAST(sum(tf_doc * tf_doc) AS DOUBLE) AS tf2
+       FROM per_doc GROUP BY term),
+meta AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                CAST(count(*) AS DOUBLE) AS cf FROM toks)
+SELECT term,
+       round(log2(n + 0.5) / log2(n + 1.0) / (df + 1.0), 6) AS idf,
+       round(log2(cf) - log2(tf), 6) AS ictf,
+       round((1.0 + log2(tf + 1.0)) / log2(1.0 + n / (df + 1.0)), 6)
+         AS qcs,
+       round((tf2 - tf * tf / df) / df, 6) AS qvar
+FROM ts, meta
+""",
+)
+
+
+def q_sigir08_logfrac(spark, sf_dir):
+    """F3+J4/J5: SigIR'08 fraction-log over pair vs term stats:
+    log2(1 + window_tf / tf_max) per canonical pair (restricted)."""
+    toks = _docs_tokens(spark, sf_dir)
+    pos = TK.token_positions(toks, doc_key=["doc_id"])
+    ts = S.term_stats(pos, doc_key=["doc_id"])
+    restriction = spark.createDataFrame(
+        [
+            tuple(sorted((a, b)))
+            for i, a in enumerate(PAIR_TERMS)
+            for b in PAIR_TERMS[i + 1 :]
+        ],
+        "t1 string, t2 string",
+    )
+    ps = S.pair_stats(
+        toks, 12, doc_key=["doc_id"], restriction_pairs=restriction
+    )
+    j = (
+        ps.join(ts.select(F.col("term").alias("t1"),
+                          F.col("tf").alias("tf1")), "t1")
+        .join(ts.select(F.col("term").alias("t2"),
+                        F.col("tf").alias("tf2_")), "t2")
+    )
+    return j.select(
+        "t1", "t2",
+        F.round(
+            F.log2(
+                1.0
+                + F.col("window_tf").cast("double")
+                / F.greatest(F.col("tf1"), F.col("tf2_")).cast("double")
+            ),
+            6,
+        ).alias("logfrac"),
+    )
+
+
+register(
+    "f3_sigir08_logfrac",
+    q_sigir08_logfrac,
+    f"""
+WITH {_TOKS_CTE},
+occ AS (
+  SELECT a.doc_id, least(a.term, b.term) AS t1,
+         greatest(a.term, b.term) AS t2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos - a.pos < 12
+  WHERE a.term IN ({_IN}) AND b.term IN ({_IN})
+),
+pairs AS (SELECT t1, t2, CAST(count(*) AS DOUBLE) AS window_tf
+          FROM occ WHERE t1 <> t2 GROUP BY 1, 2),
+ts AS (SELECT term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+       GROUP BY term)
+SELECT p.t1, p.t2,
+       round(log2(1.0 + p.window_tf / greatest(x.tf, y.tf)), 6)
+         AS logfrac
+FROM pairs p JOIN ts x ON x.term = p.t1 JOIN ts y ON y.term = p.t2
+""",
+)
+
+
+def q_acronym(spark, sf_dir):
+    """F9: acronym generation from initials of part names."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select(
+        "p_partkey",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.split(F.col("p_name"), " "),
+                lambda x: F.substring(x, 1, 1),
+            ),
+        ).alias("acronym"),
+    )
+
+
+register(
+    "f9_acronym",
+    q_acronym,
+    """
+SELECT p_partkey,
+       array_to_string(list_transform(string_split(p_name, ' '),
+                       x -> substr(x, 1, 1)), '') AS acronym
+FROM part
+""",
+)
+
+
+def q_padded_contains(spark, sf_dir):
+    """F11+J10: exact padded-substring term occurrence counts."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TK.normalize_text_col(F.col("text")).alias("nt")
+    )
+    parts = []
+    for t in PAIR_TERMS:
+        parts.append(
+            d.select(
+                F.lit(t).alias("term"),
+                F.concat(F.lit(" "), F.col("nt"), F.lit(" "))
+                .contains(f" {t} ")
+                .cast("int")
+                .alias("m"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("term").agg(F.sum("m").alias("num_docs_containing"))
+
+
+register(
+    "f11_padded_contains",
+    q_padded_contains,
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS term, CAST(sum(CASE WHEN (' ' || {_NORM} || ' ')"
+        f" LIKE '% {t} %' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS num_docs_containing FROM documents"
+        for t in PAIR_TERMS
+    ),
+)
