@@ -1,0 +1,182 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is deterministic and engine-portable (md5-derived 32-bit
+ints), so every operator here has an exact DuckDB oracle. Scale
+notes per operator:
+
+* exact: one hash groupBy — map-side partial agg, single shuffle.
+* minhash+LSH: signatures are H min-aggregates in ONE groupBy pass
+  (no per-hash shuffle); banding turns near-dup search into an
+  equi-join on (band_id, band_hash) — the classic shingle→minhash→
+  band→bucket-join plan, linear in corpus size.
+* simhash: BITS sum-aggregates in one groupBy; near-dup = hamming
+  distance on 16/64-bit ints (cheap self-join on bucketed prefixes).
+* n-gram Jaccard: candidate pairs via shared-shingle equi-join
+  (inverted-shingle join), exact Jaccard from per-doc shingle counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _h32(col, seed: int | str = "") -> "F.Column":
+    """Portable 32-bit hash: first 8 hex chars of md5(seed:value).
+
+    Identical in Spark (`conv`) and DuckDB (`CAST('0x'||… AS BIGINT)`).
+    """
+    payload = (
+        F.concat(F.lit(f"{seed}:"), col) if seed != "" else col
+    )
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: content-hash groups with >1 member.
+
+    Output: content_hash, n_dups, keep_id (min id = survivor).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def token_shingles(
+    tokens_df: DataFrame, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct token n-gram shingles per document."""
+    grams = tokens_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.col("tokens"), 1,
+                    F.greatest(F.col("n_tokens") - n + 1, F.lit(0)),
+                ),
+                lambda _x, i: F.concat_ws(
+                    " ", F.slice(F.col("tokens"), i + 1, n)
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return grams.distinct()
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per doc: H independent min-aggregates in ONE
+    groupBy (columns mh0..mh{H-1})."""
+    aggs = [
+        F.min(_h32(F.col("shingle"), i)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs sharing >= 1 LSH band bucket (canonical a < b pairs).
+
+    Bands are equi-join keys — Spark hash-partitions on
+    (band_id, band_hash), so hot buckets are the only skew source;
+    the downstream exact-verify join keeps false positives cheap.
+    """
+    bands = None
+    n_bands = num_hashes // band_size
+    for b in range(n_bands):
+        cols = [f"mh{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        part = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+            .alias("band_hash"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b_,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    return pairs.distinct()
+
+
+def simhash(
+    tokens_df: DataFrame, bits: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc SimHash over token frequencies (BITS sum-aggs, one
+    groupBy). Output: id, simhash (integer in [0, 2^bits))."""
+    toks = tokens_df.select(
+        F.col(id_col), F.explode("tokens").alias("term")
+    ).where(F.col("term") != "")
+    h = toks.select(F.col(id_col), _h32(F.col("term")).alias("h"))
+    aggs = []
+    for b in range(bits):
+        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    sums = h.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing a shingle.
+
+    Output: id_a, id_b, jaccard (double) for jaccard >= threshold.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        overlap.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("o").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("o")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline (JVM-side
+``zip_with``/``aggregate`` — no Python in the loop); the scale paths
+are sign-LSH bucketing (random-hyperplane) and IVF coarse
+quantization, both expressed as equi-joins so Catalyst plans them as
+hash joins over the bucket key. All float math is float64 with
+sequential folds so DuckDB oracles can match after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a, b):
+    """Sequential-fold dot product (deterministic float64)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_to_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k per query vector: broadcast the (small)
+    query set, score every row, window top-k. One scan, no shuffle
+    of the big side before the per-qid top-k."""
+    j = embeddings.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sign_lsh_buckets(
+    embeddings: DataFrame,
+    hyperplanes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hid_col: str = "hid",
+    hvec_col: str = "hvec",
+) -> DataFrame:
+    """Random-hyperplane sign buckets: bit_i = (v·h_i > 0).
+
+    Output: (id, bucket string of 0/1 in hid order). Near neighbors
+    collide with high probability; search = equi-join on bucket.
+    """
+    j = embeddings.crossJoin(F.broadcast(hyperplanes))
+    bits = j.select(
+        F.col(id_col),
+        F.col(hid_col),
+        F.when(dot_expr(F.col(vec_col), F.col(hvec_col)) > 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias("bit"),
+    )
+    return bits.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(hid_col, "bit"))
+                ),
+                lambda s: s["bit"],
+            ),
+        ).alias("bucket")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    hyperplanes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's bucket."""
+    base = sign_lsh_buckets(embeddings, hyperplanes, id_col, vec_col)
+    qb = sign_lsh_buckets(
+        queries.select(
+            F.col("qid").alias(id_col), F.col("qvec").alias(vec_col)
+        ),
+        hyperplanes,
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).alias("qid"), F.col("bucket"))
+    cand = (
+        embeddings.join(base, id_col)
+        .join(qb, "bucket")
+        .join(F.broadcast(queries), "qid")
+    )
+    scored = cand.select(
+        "qid",
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid by cosine (max_by).
+
+    At scale the posting-file analogy holds: repartition by cid gives
+    per-list locality for probe-time scans.
+    """
+    j = embeddings.crossJoin(F.broadcast(centroids))
+    scored = j.select(
+        F.col(id_col),
+        F.col(cid_col),
+        cosine_expr(F.col(vec_col), F.col(cvec_col)).alias("cos"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(cid_col, F.struct(F.col("cos"), -F.col(cid_col))).alias(
+            "cid"
+        )
+    )

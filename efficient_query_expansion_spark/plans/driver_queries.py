@@ -775,3 +775,417 @@ register(
         for t in PAIR_TERMS
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groups with >1 member."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+register(
+    "dedup_exact",
+    q_dedup_exact,
+    """
+SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→
+    bucket-join)."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    sh = token_shingles(_docs_tokens(spark, sf_dir), n=3)
+    sig = minhash_signatures(sh, num_hashes=8)
+    return lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
+
+
+_MH_COLS = ",\n       ".join(
+    f"min(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 8)) AS BIGINT))"
+    f" AS mh{i}"
+    for i in range(8)
+)
+_MH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id,"
+    f" md5(CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR))"
+    f" AS band_hash FROM sigs"
+    for b in range(4)
+)
+register(
+    "dedup_minhash_lsh",
+    q_dedup_minhash,
+    f"""
+WITH {_TOKS_CTE},
+grams AS (
+  SELECT DISTINCT t1.doc_id,
+         t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+),
+sigs AS (SELECT doc_id, {_MH_COLS} FROM grams GROUP BY doc_id),
+bands AS ({_MH_BANDS})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+""",
+)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (16-bit) per document."""
+    from efficient_query_expansion_spark.operators.dedup import simhash
+
+    return simhash(_docs_tokens(spark, sf_dir), bits=16)
+
+
+_SH_SUMS = ",\n       ".join(
+    f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16)
+)
+_SH_BITS = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+)
+register(
+    "dedup_simhash",
+    q_dedup_simhash,
+    f"""
+WITH {_TOKS_CTE},
+h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h
+      FROM toks),
+sums AS (SELECT doc_id, {_SH_SUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SH_BITS} AS BIGINT) AS simhash FROM sums
+""",
+)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard >= 0.5 pairs via inverted-shingle join."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        token_shingles,
+    )
+
+    sh = token_shingles(_docs_tokens(spark, sf_dir), n=3)
+    out = ngram_jaccard_pairs(sh, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    q_dedup_jaccard,
+    f"""
+WITH {_TOKS_CTE},
+grams AS (
+  SELECT DISTINCT t1.doc_id,
+         t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+overlap AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+  FROM grams a JOIN grams b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(o AS DOUBLE) / CAST(sa.sz + sb.sz - o AS DOUBLE), 6)
+         AS jaccard
+FROM overlap
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(o AS DOUBLE) / CAST(sa.sz + sb.sz - o AS DOUBLE) >= 0.5
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_sim_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-20 for 3 query vectors (exact baseline)."""
+    from efficient_query_expansion_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.where(F.col("vec_id").isin(0, 1, 2))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    out = brute_force_topk(
+        emb.where(~F.col("vec_id").isin(0, 1, 2)), queries, k=20
+    )
+    return out.select(
+        "qid", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+register(
+    "sim_bruteforce_cosine_topk",
+    q_sim_bruteforce,
+    """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+base AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id NOT IN (0, 1, 2)),
+elems AS (
+  SELECT q.qid, b.vec_id,
+         CAST(unnest(b.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qvec) AS DOUBLE) AS y
+  FROM base b, q
+),
+dots AS (
+  SELECT qid, vec_id, sum(x * y) AS dot,
+         sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+  FROM elems GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, vec_id, dot / (nx * ny) AS cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (nx * ny) DESC, vec_id) AS rank
+  FROM dots
+)
+SELECT qid, vec_id, CAST(rank AS INT) AS rank,
+       round(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 20
+""",
+)
+
+
+def q_sim_lsh(spark, sf_dir):
+    """Sign-LSH buckets (hyperplanes = vectors 1..4) — the ANN scale
+    path's bucketing stage."""
+    from efficient_query_expansion_spark.operators.similarity import (
+        sign_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = emb.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("hid"), F.col("embedding").alias("hvec")
+    )
+    return sign_lsh_buckets(emb, planes)
+
+
+register(
+    "sim_lsh_buckets",
+    q_sim_lsh,
+    """
+WITH planes AS (SELECT vec_id AS hid, embedding AS hvec
+                FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+elems AS (
+  SELECT e.vec_id, p.hid,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(p.hvec) AS DOUBLE) AS y
+  FROM embeddings e, planes p
+),
+dots AS (SELECT vec_id, hid, sum(x * y) AS dot FROM elems GROUP BY 1, 2),
+bits AS (SELECT vec_id, hid,
+                CASE WHEN dot > 0 THEN '1' ELSE '0' END AS bit
+         FROM dots)
+SELECT vec_id, string_agg(bit, '' ORDER BY hid) AS bucket
+FROM bits GROUP BY vec_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_langid(spark, sf_dir):
+    from efficient_query_expansion_spark.operators.textstats import (
+        language_id,
+    )
+
+    return language_id(_docs_tokens(spark, sf_dir))
+
+
+def _langid_sql() -> str:
+    from efficient_query_expansion_spark.operators.textstats import (
+        LANG_STOPWORDS,
+    )
+
+    ratios = []
+    for lang, words in LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        ratios.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS DOUBLE)"
+            f" / greatest(len(toks), 1) AS r_{lang}"
+        )
+    langs = list(LANG_STOPWORDS)
+    g = "greatest(" + ", ".join(f"r_{m}" for m in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN r_{m} = {g} AND {g} >= 0.04 THEN '{m}'" for m in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+r AS (SELECT doc_id, {', '.join(ratios)} FROM tk)
+SELECT doc_id, {case} AS lang, round({g}, 6) AS lang_score FROM r
+"""
+
+
+register("text_langid", q_text_langid, _langid_sql())
+
+
+def q_text_quality(spark, sf_dir):
+    from efficient_query_expansion_spark.operators.textstats import (
+        quality_score,
+    )
+
+    return quality_score(
+        _docs(spark, sf_dir), _docs_tokens(spark, sf_dir)
+    )
+
+
+def _quality_sql() -> str:
+    from efficient_query_expansion_spark.operators.textstats import (
+        LANG_STOPWORDS,
+    )
+
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH tk AS (
+  SELECT doc_id, text,
+         list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS distinct_ratio,
+       round(CAST(len(list_filter(toks, x -> x IN ({en}))) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(CAST(list_aggregate(list_transform(toks, x -> len(x)),
+                  'sum') AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS mean_token_len,
+       round(CAST(length(text) - length(regexp_replace(text,
+                  '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM tk
+"""
+
+
+register("text_quality", q_text_quality, _quality_sql())
+
+
+def q_text_tokens(spark, sf_dir):
+    from efficient_query_expansion_spark.operators.textstats import (
+        token_counts,
+    )
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+register(
+    "text_token_counts",
+    q_text_tokens,
+    """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]'))
+         AS bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from efficient_query_expansion_spark.operators.textstats import (
+        fingerprint,
+    )
+
+    return fingerprint(_docs_tokens(spark, sf_dir), k=4)
+
+
+register(
+    "text_fingerprint",
+    q_text_fingerprint,
+    f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT t.doc_id,
+         t.toks[g.i] || ' ' || t.toks[g.i+1] || ' ' || t.toks[g.i+2]
+           || ' ' || t.toks[g.i+3] AS gram
+  FROM tk t, LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 3))
+                      AS i) g
+),
+minh AS (
+  SELECT doc_id,
+         min(CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT))
+           AS min_kgram_hash
+  FROM grams GROUP BY doc_id
+)
+SELECT t.doc_id,
+       md5(array_to_string(list_sort(list_distinct(t.toks)), ' '))
+         AS set_fingerprint,
+       m.min_kgram_hash
+FROM tk t LEFT JOIN minh m ON m.doc_id = t.doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: codec stubbed, no SQL oracle)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media columns + Arrow feature-extraction plumbing
+    (decode step stubbed — see operators/multimodal.py)."""
+    from efficient_query_expansion_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return extract_features(media)
+
+
+register("multimodal_features", q_multimodal_features, None)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing over binary payloads (rows-only)."""
+    from efficient_query_expansion_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    return sample_frames(synthesize_media(_docs(spark, sf_dir)))
+
+
+register("multimodal_frame_sampling", q_multimodal_frames, None)

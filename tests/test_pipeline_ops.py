@@ -1,0 +1,175 @@
+"""Unit tests for the training-data pipeline operators (dedup,
+similarity, text stats, multimodal plumbing). The driver-contract
+test already proves DuckDB-oracle equality; these cover semantic
+properties the oracles can't express.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (2, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over a lazy cat"),     # near dup
+        (5, "el rapido zorro marron salta sobre el perro"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def docs_tokens(docs):
+    from efficient_query_expansion_spark.operators.tokenize import (
+        with_norm_text,
+        with_tokens,
+    )
+
+    return with_tokens(with_norm_text(docs))
+
+
+def test_exact_duplicates(docs):
+    from efficient_query_expansion_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    rows = exact_duplicates(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_dups"] == 2 and rows[0]["keep_id"] == 0
+
+
+def test_jaccard_and_lsh_agree_on_near_dups(docs_tokens):
+    from efficient_query_expansion_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        token_shingles,
+    )
+
+    sh = token_shingles(docs_tokens, n=3)
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sh, threshold=0.0).collect()
+    }
+    # exact dup pair has jaccard 1.0; near-dups in (0,1); disjoint absent
+    assert jac[(0, 1)] == 1.0
+    assert 0.0 < jac[(0, 2)] < 1.0
+    assert (0, 3) not in jac
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(sh, 8), 8, 2
+        ).collect()
+    }
+    assert (0, 1) in cand           # identical docs always collide
+    assert (0, 5) not in cand       # unrelated languages don't
+
+
+def test_simhash_near_dup_hamming(docs_tokens):
+    from efficient_query_expansion_spark.operators.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in
+          simhash(docs_tokens, bits=16).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sh[0] == sh[1]
+    assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3])
+
+
+def test_similarity_bruteforce_and_ivf(spark):
+    from efficient_query_expansion_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        lsh_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, vecs[0].tolist())], "qid long, qvec array<float>"
+    )
+    top = brute_force_topk(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] > 0.999999
+    # numpy oracle agreement on the top-5 ids
+    sims = vecs @ vecs[0] / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0])
+    )
+    got = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert got == sorted(range(50), key=lambda i: (-sims[i], i))[:5]
+
+    planes = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in (1, 2, 3)],
+        "hid long, hvec array<float>",
+    )
+    atop = lsh_topk(emb, q, planes, k=5).collect()
+    # the query's own vector is in its own bucket ⇒ rank 1 survives
+    assert sorted(r["rank"] for r in atop)[0] == 1
+    assert atop[0]["vec_id"] == 0
+
+    cents = spark.createDataFrame(
+        [(0, vecs[10].tolist()), (1, vecs[20].tolist())],
+        "cid long, cvec array<float>",
+    )
+    assign = {r["vec_id"]: r["cid"] for r in ivf_assign(emb, cents).collect()}
+    assert assign[10] == 0 and assign[20] == 1
+    assert set(assign) == set(range(50))
+
+
+def test_multimodal_plumbing(spark, docs):
+    from efficient_query_expansion_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == docs.count()
+    byid = {r["media_id"]: r for r in feats}
+    assert byid[0]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog".encode()
+    )
+    assert byid[0]["checksum"] == byid[1]["checksum"]  # same payload
+    assert all(r["width"] >= 16 and r["height"] >= 16 for r in feats)
+    # video/audio rows get multi-frame counts, images exactly 1
+    assert all(
+        (r["media_type"] == "image") == (r["n_frames"] == 1) for r in feats
+    )
+
+    frames = sample_frames(media, every_n_bytes=16, max_frames=4).collect()
+    assert {r["media_id"] for r in frames} == set(range(6))
+    assert max(r["frame_idx"] for r in frames) <= 3
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "image")
+
+
+def test_language_id(spark):
+    from efficient_query_expansion_spark.operators.textstats import (
+        language_id,
+    )
+    from efficient_query_expansion_spark.operators.tokenize import (
+        with_norm_text,
+        with_tokens,
+    )
+
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "el perro y el gato se ven en la casa"),
+        (2, "der hund und die katze das ist gut"),
+        (3, "xyzzy plugh qwop zork"),
+    ]
+    df = with_tokens(with_norm_text(
+        spark.createDataFrame(rows, "doc_id long, text string")))
+    langs = {r["doc_id"]: r["lang"] for r in language_id(df).collect()}
+    assert langs == {0: "en", 1: "es", 2: "de", 3: "und"}
