@@ -1,0 +1,344 @@
+"""Thesaurus-driven candidate expansion generation (reference
+``query_expansion_support.py:8-301``, re-expressed relationally).
+
+The reference holds the thesaurus in driver dicts and expands one
+query at a time; here the thesaurus is a set of dimension DataFrames
+and expansion is a join pipeline, so millions of queries expand in
+one pass:
+
+1. normalize (P3) + stopword-strip with segmenter fallback (P9);
+2. segment into thesaurus phrases (greedy longest-match — the
+   reference's ``PySegmenter`` lives in a missing submodule, its
+   observable use being "segment the query into thesaurus phrases
+   with phrase_freq >= 100"; longest-match-left-to-right is our
+   concrete definition);
+3. part1 (thesaurus): lemma → normalized forms → synonyms of shared
+   meanings (minus extensions) → noun plurals, tagged
+   (pos, Lem|Norm|Syn|Plu) (:127-219);
+4. part2 (entities): segment → entities → sibling aliases with
+   provenance tags, with collapsed-form fallback (:221-251);
+5. group duplicate candidates concatenating tags (:112-121), drop
+   candidates already among the query terms (:104-110) and those not
+   made of frequent unigrams (:98-102).
+
+``pattern.en`` (Python-2-only) is replaced by a deterministic
+rule-based lemmatizer/pluralizer (``RuleMorph``); fixture thesauri
+use base forms so behavior is equivalent on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from efficient_query_expansion_spark.functions.normalize import (
+    normalize_text_py,
+)
+
+VOWELS = "aeiou"
+
+
+class RuleMorph:
+    """Deterministic English-ish lemma / plural rules."""
+
+    @staticmethod
+    def lemma(term: str) -> str:
+        if " " in term:
+            return " ".join(RuleMorph.lemma(t) for t in term.split())
+        w = term
+        if len(w) > 3 and w.endswith("ies"):
+            return w[:-3] + "y"
+        if len(w) > 3 and w.endswith(("ses", "xes", "zes", "ches", "shes")):
+            return w[:-2]
+        if len(w) > 2 and w.endswith("s") and not w.endswith("ss"):
+            return w[:-1]
+        return w
+
+    @staticmethod
+    def pluralize(term: str) -> str:
+        if " " in term:
+            parts = term.split()
+            return " ".join(parts[:-1] + [RuleMorph.pluralize(parts[-1])])
+        w = term
+        if w.endswith("y") and len(w) > 1 and w[-2] not in VOWELS:
+            return w[:-1] + "ies"
+        if w.endswith(("s", "x", "z", "ch", "sh")):
+            return w + "es"
+        return w + "s"
+
+
+class GreedySegmenter:
+    """Longest-match-left-to-right phrase segmentation over a phrase
+    dictionary (phrases = multiword thesaurus segments with
+    phrase_freq >= min_df, reference :26-36)."""
+
+    def __init__(self, phrases: set[str], max_words: int = 6):
+        self.phrases = set(phrases)
+        self.max_words = max(
+            (len(p.split()) for p in phrases), default=1
+        )
+
+    def segment(self, text: str) -> list[str]:
+        tokens = [t for t in text.split(" ") if t]
+        out = []
+        i = 0
+        while i < len(tokens):
+            matched = None
+            for n in range(min(self.max_words, len(tokens) - i), 1, -1):
+                gram = " ".join(tokens[i : i + n])
+                if gram in self.phrases:
+                    matched = gram
+                    break
+            if matched:
+                out.append(matched)
+                i += len(matched.split())
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+
+def preprocess_queries(
+    spark: SparkSession,
+    queries: DataFrame,
+    segmenter: GreedySegmenter,
+    stopwords: set[str],
+) -> DataFrame:
+    """(qid, query) → base_long (qid, and_pos=0, syn_pos, term):
+    normalize, stopword-strip with all-stopword fallback (P9,
+    reference :253-269), re-segment."""
+    bc = spark.sparkContext.broadcast((segmenter, frozenset(stopwords)))
+
+    import pandas as pd
+
+    def run(batches):
+        seg, stops = bc.value
+        for pdf in batches:
+            rows = []
+            for qid, query in zip(pdf["qid"], pdf["query"]):
+                q = normalize_text_py(query)
+                kept = [t for t in seg.segment(q) if t not in stops]
+                if not kept:  # all-stopword fallback: keep everything
+                    terms = seg.segment(q)
+                else:
+                    terms = seg.segment(" ".join(kept))
+                for i, t in enumerate(terms):
+                    rows.append((int(qid), 0, i, t))
+            yield pd.DataFrame(
+                rows, columns=["qid", "and_pos", "syn_pos", "term"]
+            )
+
+    return queries.select("qid", "query").mapInPandas(
+        run, schema="qid int, and_pos int, syn_pos int, term string"
+    )
+
+
+def build_part1_candidates(
+    spark: SparkSession,
+    segments: DataFrame,       # (segment_id, segment)
+    meanings: DataFrame,       # (segment_id, meaning_id, pos, syn_segment_id)
+    morph=RuleMorph,
+) -> DataFrame:
+    """Dimension table: source term → thesaurus candidates with tags.
+
+    Output: (term, cand, tag_pos, tag_kind). Derivation per
+    reference :127-212 — for every (pos): Lem = lemma; Norm =
+    segments whose lemma equals it; Syn = synonym segments of the
+    Norm segments' meanings minus extensions; Plu = plurals of the
+    noun Norms+Syns.
+    """
+    lemma_udf = F.udf(morph.lemma, "string")
+    plural_udf = F.udf(morph.pluralize, "string")
+
+    seg = segments.select("segment_id", "segment")
+    seg_pos = (
+        meanings.select("segment_id", "pos")
+        .distinct()
+        .join(seg, "segment_id")
+        .select("segment", "pos", F.col("segment_id"))
+        .withColumn("lemma", lemma_udf("segment"))
+    )
+    # lemma index: lemma+pos → normalized segments
+    lemma_index = seg_pos.select(
+        F.col("lemma"), "pos",
+        F.col("segment_id").alias("norm_segment_id"),
+        F.col("segment").alias("norm_segment"),
+    )
+
+    # every source term gets its per-pos lemma; source terms = all
+    # segments plus their lemmas appear naturally via the join below.
+    # Lem candidates: (term, lemma) for each of the 4 pos tags.
+    all_pos = spark.createDataFrame(
+        [("noun",), ("verb",), ("adj",), ("adv",)], "pos string"
+    )
+    src = seg.select(F.col("segment").alias("term")).distinct()
+    src_pos = src.crossJoin(all_pos).withColumn(
+        "lemma", lemma_udf("term")
+    )
+    lem = src_pos.select(
+        "term", F.col("lemma").alias("cand"), "pos",
+        F.lit("Lem").alias("kind"),
+    )
+
+    norm = src_pos.join(lemma_index, ["lemma", "pos"]).select(
+        "term", F.col("norm_segment").alias("cand"), "pos",
+        F.lit("Norm").alias("kind"),
+    )
+
+    # Syn: synonyms of each Norm segment's meanings with matching pos,
+    # excluding synonyms that extend the Norm segment (:180)
+    syn_src = src_pos.join(lemma_index, ["lemma", "pos"])
+    syn = (
+        syn_src.join(
+            meanings.select(
+                F.col("segment_id").alias("norm_segment_id"),
+                "meaning_id",
+                F.col("pos").alias("m_pos"),
+            ),
+            "norm_segment_id",
+        )
+        .where(F.col("m_pos") == F.col("pos"))
+        .join(
+            meanings.select(
+                "meaning_id",
+                F.col("pos").alias("m_pos2"),
+                F.col("syn_segment_id"),
+            ).distinct(),
+            "meaning_id",
+        )
+        .where(F.col("m_pos2") == F.col("pos"))
+        .join(
+            seg.select(
+                F.col("segment_id").alias("syn_segment_id"),
+                F.col("segment").alias("cand"),
+            ),
+            "syn_segment_id",
+        )
+        .where(
+            ~F.concat(F.lit(" "), F.col("cand"), F.lit(" ")).contains(
+                F.concat(F.lit(" "), F.col("norm_segment"), F.lit(" "))
+            )
+        )
+        .select("term", "cand", "pos", F.lit("Syn").alias("kind"))
+    )
+
+    plu = (
+        norm.where(F.col("pos") == "noun")
+        .unionByName(syn.where(F.col("pos") == "noun"))
+        .select("term", plural_udf("cand").alias("cand"))
+        .withColumn("pos", F.lit("noun"))
+        .withColumn("kind", F.lit("Plu"))
+    )
+
+    return (
+        lem.unionByName(norm).unionByName(syn).unionByName(plu)
+        .distinct()
+    )
+
+
+def build_part2_candidates(
+    segments: DataFrame,
+    entity_alias: DataFrame,   # (entity_id, segment_id, tags)
+) -> DataFrame:
+    """Entity sibling aliases with provenance tags, incl. the
+    collapsed (space-free) form fallback (:221-251).
+
+    Output: (term, cand, tags array<string>).
+    """
+    seg = segments.select("segment_id", "segment")
+    ea = entity_alias.join(seg, "segment_id").select(
+        "entity_id",
+        F.col("segment").alias("alias"),
+        F.col("tags"),
+    )
+    src = ea.select(
+        "entity_id", F.col("alias").alias("term"),
+    )
+    # collapsed-form fallback: a space-free variant of a multiword
+    # alias also reaches the entity, unless it is itself a segment
+    all_segments = seg.select(F.col("segment")).distinct()
+    collapsed = (
+        ea.where(F.col("alias").contains(" "))
+        .select(
+            "entity_id",
+            F.regexp_replace("alias", " ", "").alias("term"),
+        )
+        .join(
+            all_segments.withColumnRenamed("segment", "term"),
+            "term",
+            "left_anti",
+        )
+    )
+    src = src.unionByName(collapsed).distinct()
+    out = src.join(ea, "entity_id").select(
+        "term",
+        F.col("alias").alias("cand"),
+        "tags",
+    )
+    return out.where(
+        ~F.concat(F.lit(" "), F.col("cand"), F.lit(" ")).contains(
+            F.concat(F.lit(" "), F.col("term"), F.lit(" "))
+        )
+    ).distinct()
+
+
+def expand(
+    base_long: DataFrame,
+    part1: DataFrame,
+    part2: DataFrame,
+    good_unary_terms: DataFrame | None = None,
+) -> DataFrame:
+    """base_long → candidate long table with grouped tags.
+
+    Output: (qid, and_pos, syn_pos, term, tags array<string>).
+    Filters: candidate not containing its source as a phrase (:217),
+    all candidate words frequent (:218, semi-join when
+    ``good_unary_terms`` given), candidate not among the query's own
+    terms (:289-297, anti-join).
+    """
+    p1 = part1.select(
+        "term",
+        "cand",
+        F.array(F.col("pos"), F.col("kind")).alias("tags"),
+    )
+    p2 = part2.select("term", "cand", "tags")
+    cands = p1.unionByName(p2)
+
+    j = base_long.join(cands, "term").where(
+        ~F.concat(F.lit(" "), F.col("cand"), F.lit(" ")).contains(
+            F.concat(F.lit(" "), F.col("term"), F.lit(" "))
+        )
+    )
+    if good_unary_terms is not None:
+        words = j.select(
+            "qid", "and_pos", "syn_pos", "term", "cand", "tags",
+            F.explode(F.split("cand", " ")).alias("w"),
+        )
+        bad = words.join(
+            F.broadcast(
+                good_unary_terms.select(F.col("term").alias("w"))
+            ),
+            "w",
+            "left_anti",
+        ).select("qid", "and_pos", "syn_pos", "cand").distinct()
+        j = j.join(
+            bad, ["qid", "and_pos", "syn_pos", "cand"], "left_anti"
+        )
+
+    # drop candidates equal to any query term of the same query
+    j = j.join(
+        base_long.select("qid", F.col("term").alias("cand")).distinct(),
+        ["qid", "cand"],
+        "left_anti",
+    )
+
+    # group duplicate candidates, concatenating tag lists in a
+    # deterministic order (reference :112-121 keeps first-seen order;
+    # we sort — the *set* of tags is identical)
+    return (
+        j.groupBy("qid", "and_pos", "syn_pos", F.col("cand").alias("term"))
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("tags")))
+            ).alias("tags")
+        )
+    )

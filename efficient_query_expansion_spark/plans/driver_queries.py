@@ -1189,3 +1189,119 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 register("multimodal_frame_sampling", q_multimodal_frames, None)
+
+
+# ---------------------------------------------------------------------------
+# Expansion candidate generation (§3.2 lifecycle) over an inline
+# thesaurus on the documents vocabulary
+# ---------------------------------------------------------------------------
+
+_EXP_GROUPS = [  # (gid, pos, words) — synonym groups
+    (0, "verb", ("join", "merge")),
+    (1, "noun", ("row", "line")),
+    (2, "adj", ("big", "large")),
+    (3, "adj", ("fast", "quick")),
+    (4, "verb", ("order", "sort")),
+]
+_EXP_QUERIES = [
+    (0, "join fast"),
+    (1, "the row"),
+    (2, "big sort data"),
+]
+
+
+def q_expansion_candidates(spark, sf_dir):
+    """Thesaurus expansion (P9-P12, J3, §3.2): normalize →
+    stopword-strip → segment → part1 joins → filters → grouped tags.
+    Output tags as a sorted comma-joined string for portability."""
+    from efficient_query_expansion_spark.expansion import (
+        GreedySegmenter,
+        build_part1_candidates,
+        expand,
+        preprocess_queries,
+    )
+
+    seg_rows, seen = [], {}
+    meaning_rows = []
+    for gid, pos, words in _EXP_GROUPS:
+        for w in words:
+            if w not in seen:
+                seen[w] = len(seen)
+                seg_rows.append((seen[w], w))
+        for w in words:
+            for s in words:
+                meaning_rows.append((seen[w], gid, pos, seen[s]))
+    segments = spark.createDataFrame(
+        seg_rows, "segment_id long, segment string"
+    )
+    meanings = spark.createDataFrame(
+        meaning_rows,
+        "segment_id long, meaning_id long, pos string,"
+        " syn_segment_id long",
+    )
+    queries = spark.createDataFrame(_EXP_QUERIES, "qid int, query string")
+    base = preprocess_queries(
+        spark, queries, GreedySegmenter(set()), {"the", "a"}
+    )
+    p1 = build_part1_candidates(spark, segments, meanings)
+    empty_p2 = spark.createDataFrame(
+        [], "term string, cand string, tags array<string>"
+    )
+    out = expand(base, p1, empty_p2)
+    return out.select(
+        "qid", "and_pos", "syn_pos", "term",
+        F.array_join("tags", ",").alias("tags"),
+    )
+
+
+def _expansion_sql() -> str:
+    grp_vals = ", ".join(
+        f"({gid}, '{pos}', '{w}')"
+        for gid, pos, words in _EXP_GROUPS
+        for w in words
+    )
+    # base_long after deterministic normalize + stopword-strip of the
+    # fixed queries (preprocessing proven separately in pytest)
+    base_rows = []
+    for qid, q in _EXP_QUERIES:
+        kept = [t for t in q.split() if t not in ("the", "a")]
+        for i, t in enumerate(kept or q.split()):
+            base_rows.append(f"({qid}, {i}, '{t}')")
+    base_vals = ", ".join(base_rows)
+    return f"""
+WITH grp(gid, pos, word) AS (VALUES {grp_vals}),
+base(qid, syn_pos, term) AS (VALUES {base_vals}),
+syn AS (
+  SELECT b.qid, b.syn_pos, g2.word AS cand, g2.pos, 'Syn' AS kind
+  FROM base b
+  JOIN grp g1 ON g1.word = b.term
+  JOIN grp g2 ON g2.gid = g1.gid AND g2.pos = g1.pos
+  WHERE g2.word <> b.term
+),
+plu AS (
+  SELECT b.qid, b.syn_pos, g2.word || 's' AS cand, 'noun' AS pos,
+         'Plu' AS kind
+  FROM base b
+  JOIN grp g1 ON g1.word = b.term AND g1.pos = 'noun'
+  JOIN grp g2 ON g2.gid = g1.gid
+  WHERE NOT contains(' ' || g2.word || 's' || ' ',
+                     ' ' || b.term || ' ')
+),
+allc AS (SELECT * FROM syn UNION ALL SELECT * FROM plu),
+filtered AS (
+  SELECT * FROM allc a
+  WHERE NOT EXISTS (SELECT 1 FROM base b2
+                    WHERE b2.qid = a.qid AND b2.term = a.cand)
+),
+tags AS (
+  SELECT qid, syn_pos, cand, pos AS tag FROM filtered
+  UNION
+  SELECT qid, syn_pos, cand, kind AS tag FROM filtered
+)
+SELECT qid, 0 AS and_pos, syn_pos, cand AS term,
+       string_agg(DISTINCT tag, ',' ORDER BY tag) AS tags
+FROM tags GROUP BY qid, syn_pos, cand
+"""
+
+
+register("expansion_candidates", q_expansion_candidates, _expansion_sql())

@@ -1,0 +1,147 @@
+"""Expansion-generation tests over the thesaurus fixtures
+(fixtures.py §3), checking the §3.2 lifecycle: normalize →
+stopword-strip (with fallback) → segment → part1/part2 candidates →
+filters → grouped tags.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from efficient_query_expansion_spark.expansion import (
+    GreedySegmenter,
+    RuleMorph,
+    build_part1_candidates,
+    build_part2_candidates,
+    expand,
+    preprocess_queries,
+)
+from efficient_query_expansion_spark.fixtures import (
+    ENTITIES,
+    STOPWORDS,
+    gen_thesaurus_tables,
+)
+
+
+@pytest.fixture(scope="module")
+def thesaurus(spark):
+    pdfs = gen_thesaurus_tables()
+    return {
+        "segments": spark.createDataFrame(pdfs["segments"]),
+        "meanings": spark.createDataFrame(pdfs["meanings"]),
+        "entity_alias": spark.createDataFrame(
+            pdfs["entity_alias"],
+            "entity_id long, segment_id long, tags array<string>",
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def segmenter():
+    phrases = {e for e in ENTITIES} | {
+        a for al in ENTITIES.values() for a in al if " " in a
+    }
+    return GreedySegmenter(phrases)
+
+
+def test_morph_rules():
+    assert RuleMorph.lemma("cars") == "car"
+    assert RuleMorph.lemma("cities") == "city"
+    assert RuleMorph.lemma("glass") == "glass"
+    assert RuleMorph.lemma("new york cities") == "new york city"
+    assert RuleMorph.pluralize("car") == "cars"
+    assert RuleMorph.pluralize("city") == "cities"
+    assert RuleMorph.pluralize("box") == "boxes"
+    assert RuleMorph.pluralize("machine learning") == "machine learnings"
+
+
+def test_segmenter(segmenter):
+    assert segmenter.segment("new york pizza") == ["new york", "pizza"]
+    assert segmenter.segment("machine learning in new york") == [
+        "machine learning", "in", "new york",
+    ]
+    assert segmenter.segment("pizza") == ["pizza"]
+    # longest match wins
+    assert segmenter.segment("new york city limits") == [
+        "new york city", "limits",
+    ]
+
+
+def test_preprocess_with_stopword_fallback(spark, segmenter):
+    q = spark.createDataFrame(
+        [(0, "the NEW YORK of pizza"), (1, "the of and")],
+        "qid int, query string",
+    )
+    base = preprocess_queries(spark, q, segmenter, set(STOPWORDS))
+    rows = sorted(
+        (r["qid"], r["syn_pos"], r["term"]) for r in base.collect()
+    )
+    assert rows == [
+        (0, 0, "new york"),
+        (0, 1, "pizza"),
+        (1, 0, "the"),
+        (1, 1, "of"),
+        (1, 2, "and"),
+    ]
+
+
+def test_expand_full(spark, thesaurus, segmenter):
+    q = spark.createDataFrame(
+        [(0, "car fast"), (1, "ny pizza"), (2, "new york")],
+        "qid int, query string",
+    )
+    base = preprocess_queries(spark, q, segmenter, set(STOPWORDS))
+    p1 = build_part1_candidates(
+        spark, thesaurus["segments"], thesaurus["meanings"]
+    )
+    p2 = build_part2_candidates(
+        thesaurus["segments"], thesaurus["entity_alias"]
+    )
+    out = expand(base, p1, p2)
+    got = {}
+    for r in out.collect():
+        got.setdefault((r["qid"], r["syn_pos"]), {})[r["term"]] = list(
+            r["tags"]
+        )
+
+    # qid 0: car → Syn auto/automobile + Plu cars/autos/automobiles
+    car = got[(0, 0)]
+    assert {"auto", "automobile", "cars", "autos", "automobiles"} <= set(
+        car
+    )
+    assert "car" not in car  # query term filtered (P11)
+    assert "Syn" in car["auto"] and "noun" in car["auto"]
+    assert "Plu" in car["cars"]
+    fast = got[(0, 1)]
+    assert {"quick", "rapid"} <= set(fast)
+    assert all("adj" in v for k, v in fast.items() if k in ("quick", "rapid"))
+    # adjectives have no plurals
+    assert "fasts" not in fast
+
+    # qid 1: ny → entity aliases; "new york city" does NOT contain "ny"
+    ny = got[(1, 0)]
+    assert {"new york", "big apple", "new york city"} <= set(ny)
+    assert (1, 1) not in got  # pizza: no thesaurus entry
+
+    # qid 2: "new york" segment: aliases minus extensions
+    nyq = got[(2, 0)]
+    assert "ny" in nyq and "big apple" in nyq
+    assert "new york city" not in nyq  # contains the source phrase
+
+
+def test_expand_good_terms_filter(spark, thesaurus, segmenter):
+    q = spark.createDataFrame([(0, "car")], "qid int, query string")
+    base = preprocess_queries(spark, q, segmenter, set(STOPWORDS))
+    p1 = build_part1_candidates(
+        spark, thesaurus["segments"], thesaurus["meanings"]
+    )
+    p2 = build_part2_candidates(
+        thesaurus["segments"], thesaurus["entity_alias"]
+    )
+    good = spark.createDataFrame(
+        [("auto",), ("car",)], "term string"
+    )
+    out = expand(base, p1, p2, good_unary_terms=good)
+    terms = {r["term"] for r in out.collect()}
+    assert terms == {"auto"}  # only candidates made of good unigrams

@@ -1,0 +1,207 @@
+"""Featurizer parity vs pure-Python oracle ports of the reference
+loops (tests/feature_oracle.py). Spark outputs are float32; oracle is
+float64 → 1e-6 relative tolerance (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from efficient_query_expansion_spark.features.featurizers import (
+    QPP_NAMES,
+    SIGIR08_NAMES,
+    TEXTUAL_NAMES,
+    qpp_features,
+    sigir08_features,
+    tags_features,
+    textual_features,
+)
+from efficient_query_expansion_spark.functions.normalize import (
+    normalize_text_py,
+)
+from efficient_query_expansion_spark.operators.stats import (
+    pair_stats,
+    term_stats,
+    triple_stats,
+)
+from efficient_query_expansion_spark.operators.tokenize import (
+    token_positions,
+    with_norm_text,
+    with_tokens,
+)
+
+from tests.feature_oracle import (
+    qpp_oracle,
+    sigir08_oracle,
+    textual_oracle,
+)
+from tests.oracle import brute_corpus_stats
+
+# base and candidate CNF reprs for 3 test queries (base synsets are
+# singleton source terms; candidates carry tags)
+BASE = {
+    0: [[[("car",)], [("fast",)]]],
+    1: [[[("movie",)], [("big",)], [("street",)]]],
+    2: [[[("ship",)]]],
+}
+CAND = {
+    0: [[
+        [("auto", ("noun", "Syn")), ("automobile", ("noun", "Syn"))],
+        [("quick", ("adj", "Syn")), ("rapid", ("adj", "Syn"))],
+    ]],
+    1: [[
+        [("film", ("noun", "Syn")), ("picture", ("noun", "Syn"))],
+        [("large", ("adj", "Syn")), ("huge", ("adj", "Lem"))],
+        [("road", ("noun", "Syn")), ("avenue", ("noun", "Plu"))],
+    ]],
+    2: [[[("vessel", ("noun", "Syn")), ("boat", ("noun", "Norm"))]]],
+}
+
+
+def _long_dfs(spark):
+    base_rows, cand_rows = [], []
+    for qid in BASE:
+        for a, aq in enumerate(BASE[qid]):
+            for s, synset in enumerate(aq):
+                for t in synset:
+                    base_rows.append((qid, a, s, t[0]))
+        for a, aq in enumerate(CAND[qid]):
+            for s, synset in enumerate(aq):
+                for t in synset:
+                    cand_rows.append((qid, a, s, t[0], list(t[1])))
+    base = spark.createDataFrame(
+        base_rows, "qid int, and_pos int, syn_pos int, term string"
+    )
+    cand = spark.createDataFrame(
+        cand_rows,
+        "qid int, and_pos int, syn_pos int, term string,"
+        " tags array<string>",
+    )
+    return base, cand
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, transcripts_tiny):
+    docs = transcripts_tiny.limit(120)
+    toks = with_tokens(with_norm_text(docs))
+    pos = token_positions(toks)
+    ts = term_stats(pos)
+    ps = pair_stats(toks, 12)
+    tr = triple_stats(pos, 15)
+    meta = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("cf")
+    ).collect()[0]
+
+    texts = [r["text"] for r in docs.collect()]
+    tok_lists = [
+        [t for t in normalize_text_py(x).split(" ") if t] for x in texts
+    ]
+    o_term, o_pair, o_triple = brute_corpus_stats(tok_lists, 12, 15)
+    base, cand = _long_dfs(spark)
+    return {
+        "ts": ts, "ps": ps, "tr": tr,
+        "n": int(meta["n"]), "cf": int(meta["cf"]),
+        "o_term": {k: v for k, v in o_term.items()},
+        "o_pair": {k: (v[2], v[4]) for k, v in o_pair.items()},
+        "o_triple": {k: v[1] for k, v in o_triple.items()},
+        "base": base, "cand": cand,
+    }
+
+
+def _check(got_rows, names, oracles, qid_key=True):
+    for r in got_rows:
+        key = (r["and_pos"], r["syn_pos"], r["term"])
+        want = oracles[r["qid"]][key]
+        for name, w in zip(names, want):
+            g = r[name]
+            assert g == pytest.approx(w, rel=1e-6, abs=1e-6), (
+                f"qid={r['qid']} {key} {name}: {g} != {w}"
+            )
+
+
+def test_textual_parity(spark, ctx):
+    got = textual_features(ctx["cand"], ctx["base"]).collect()
+    oracles = {
+        qid: textual_oracle(BASE[qid], CAND[qid]) for qid in BASE
+    }
+    assert len(got) == sum(
+        len(s) for q in CAND.values() for a in q for s in a
+    )
+    _check(got, TEXTUAL_NAMES, oracles)
+
+
+def test_qpp_parity(spark, ctx):
+    got = qpp_features(
+        ctx["cand"], ctx["base"], ctx["ts"], ctx["n"], ctx["cf"]
+    ).collect()
+    oracles = {
+        qid: qpp_oracle(
+            BASE[qid], CAND[qid], ctx["o_term"], ctx["n"], ctx["cf"]
+        )
+        for qid in BASE
+    }
+    _check(got, QPP_NAMES, oracles)
+
+
+def test_sigir08_parity(spark, ctx):
+    got = sigir08_features(
+        ctx["cand"], ctx["base"], ctx["ts"], ctx["ps"], ctx["tr"]
+    ).collect()
+    oracles = {
+        qid: sigir08_oracle(
+            BASE[qid], CAND[qid], ctx["o_term"], ctx["o_pair"],
+            ctx["o_triple"], ctx["cf"],
+        )
+        for qid in BASE
+    }
+    _check(got, SIGIR08_NAMES, oracles)
+
+
+def test_tags_onehot(spark, ctx):
+    tags = ["Syn", "Lem", "Norm", "Plu", "noun", "adj"]
+    got = tags_features(ctx["cand"], ctx["base"], tags).collect()
+    by_key = {
+        (r["qid"], r["and_pos"], r["syn_pos"], r["term"]): r for r in got
+    }
+    r = by_key[(0, 0, 0, "auto")]
+    assert r["Syn"] == 1.0 and r["noun"] == 1.0 and r["adj"] == 0.0
+    assert r["num_syn_Syn"] == 2.0  # both candidates in synset tagged Syn
+    r2 = by_key[(1, 0, 1, "huge")]
+    assert r2["Lem"] == 1.0 and r2["num_syn_Lem"] == 1.0
+
+
+def test_pipeline_compose_normalize_select_greedy(spark, ctx):
+    from efficient_query_expansion_spark.features.pipeline import (
+        compose,
+        greedy_select,
+        normalize_features,
+        score,
+        select_features,
+        topk_per_query,
+    )
+
+    tex = textual_features(ctx["cand"], ctx["base"])
+    qpp = qpp_features(
+        ctx["cand"], ctx["base"], ctx["ts"], ctx["n"], ctx["cf"]
+    )
+    comp = compose(tex, qpp)
+    assert comp.count() == tex.count()
+    norm = normalize_features(comp, ["idf", "edit_dist"], by=["qid"])
+    rows = norm.select("qid", "idf__maxnorm", "edit_dist__rank").collect()
+    assert all(0.0 <= r["idf__maxnorm"] <= 1.0 for r in rows)
+    sel = select_features(norm, ["idf", "idf__maxnorm"])
+    assert sel.columns == [
+        "qid", "and_pos", "syn_pos", "term", "idf", "idf__maxnorm"
+    ]
+    scored = score(comp, ["idf", "edit_dist"])
+    g = greedy_select(scored, steps=2)
+    per_q = {}
+    for r in g.collect():
+        per_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in per_q.items():
+        assert len(rows) == 2
+        assert len({(r["term"], r["and_pos"], r["syn_pos"])
+                    for r in rows}) == 2
+    tk = topk_per_query(scored, 3)
+    assert tk.groupBy("qid").count().agg(F.max("count")).collect()[0][0] <= 3
