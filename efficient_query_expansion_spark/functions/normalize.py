@@ -172,6 +172,29 @@ def normalize_text_udf(s: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def ascii_fold_udf(s: pd.Series) -> pd.Series:
+    """NFD-fold to ASCII only — the single step Java regex cannot do.
+
+    Rows that are already pure ASCII pass through untouched (cheap C
+    check), so on clean corpora this UDF is almost free; the rest of
+    ``normalize_text`` then runs JVM-side (see tokenize.with_norm_text
+    hybrid mode), keeping the hot path in whole-stage codegen.
+    """
+    s = s.fillna("")
+    mask = ~s.map(str.isascii)
+    if mask.any():
+        folded = (
+            s[mask]
+            .str.normalize("NFD")
+            .str.encode("ascii", "ignore")
+            .str.decode("ascii")
+        )
+        s = s.copy()
+        s[mask] = folded
+    return s
+
+
+@F.pandas_udf(StringType())
 def normalize_hyphens_udf(s: pd.Series) -> pd.Series:
     return _step2_series(_step1_series(s).str.replace(_REX_HYPHENS, "", regex=True))
 
@@ -211,17 +234,31 @@ def normalize_text_sql(col: str, dialect: str = "duckdb") -> str:
     return f"trim(lower({rr(step1, _REX_NON_ALNUM, chr(39) + ' ' + chr(39))}))"
 
 
-def normalize_text_col(col: Column) -> Column:
-    """Pure-JVM Column version (whole-stage-codegen'd, no Python) for
-    ASCII-clean input; the UDF remains the canonical general path.
-    """
-    step1 = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(col, _REX_CONTROL, " "), _REX_SPACES, " "
-            ),
-            _REX_NEWLINES,
-            "\n",
-        )
+# every ASCII char outside [0-9a-zA-Z ] — the full set normalize_text
+# eventually turns into a separator (controls via step 1, punctuation
+# via step 2)
+_NON_ALNUM_ASCII = "".join(
+    chr(c)
+    for c in range(128)
+    if not (
+        c == 0x20
+        or 0x30 <= c <= 0x39
+        or 0x41 <= c <= 0x5A
+        or 0x61 <= c <= 0x7A
     )
-    return F.trim(F.lower(F.regexp_replace(step1, _REX_NON_ALNUM, " ")))
+)
+
+
+def normalize_text_col(col: Column) -> Column:
+    """Pure-JVM Column version for ASCII input (post-fold).
+
+    Equivalent to ``normalize_text`` (step1 ∘ step2) but regex-free on
+    the hot path: the composition maps every maximal run of
+    non-alphanumeric characters to a single separator, which is
+    ``translate`` (single-pass table lookup — java.util.regex runs at
+    ~10 MB/s/core on the reference's negated-class pattern, 100x
+    slower) + one space-collapse + trim + lower. Bit-equivalence with
+    the Python specification is covered by the golden/parity tests.
+    """
+    spaced = F.translate(col, _NON_ALNUM_ASCII, " " * len(_NON_ALNUM_ASCII))
+    return F.lower(F.trim(F.regexp_replace(spaced, " {2,}", " ")))

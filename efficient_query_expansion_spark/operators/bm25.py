@@ -177,11 +177,27 @@ def sharded_topk(
     score-bit-identical) to :func:`exact_topk`.
     """
     spark = queries_long.sparkSession
-    meta = index["meta"].collect()[0]
-    num_docs, avg_len = int(meta["num_docs"]), float(meta["avg_doc_len"])
+    if "meta_values" in index:
+        num_docs, avg_len = index["meta_values"]
+    else:
+        meta = index["meta"].collect()[0]
+        num_docs, avg_len = int(meta["num_docs"]), float(meta["avg_doc_len"])
+
+    # query sets are small by construction — one tiny driver pass gives
+    # the synset shapes, so synset counting needs no Spark job
+    qrows = queries_long.select(
+        "qid", "and_pos", "syn_pos", "term"
+    ).collect()
+    n_syn_map: dict = {}
+    syn_terms: dict = {}
+    for r in qrows:
+        key = (r["qid"], r["and_pos"], r["syn_pos"])
+        syn_terms.setdefault(key, set()).add(r["term"])
+    for qid, a, s in syn_terms:
+        n_syn_map[(qid, a)] = max(n_syn_map.get((qid, a), 0), s + 1)
 
     qterms = F.broadcast(queries_long).join(
-        index["dictionary"].select("term", "term_id"), "term"
+        index["dictionary"].select("term", "term_id", "df"), "term"
     )
 
     qpost = qterms.join(index["postings"], "term_id").select(
@@ -189,47 +205,60 @@ def sharded_topk(
         "doc_gaps", "tfs", "block_max_part",
     )
 
-    # synset union-df: per (qid, synset, shard) count the union of the
-    # member postings (shards partition doc space, so union-df sums
-    # across shards). Cheap pass over posting rows, no doc explode.
-    def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (qid, a, s, shard), g in pdf.groupby(
-            ["qid", "and_pos", "syn_pos", "shard"]
-        ):
-            if len(g) == 1:
-                cnt = int(g["n"].iloc[0])
-            else:
-                arrs = [
-                    delta_decode(varbyte_decode(bytes(x)))
-                    for x in g["doc_gaps"]
-                ]
-                cnt = int(len(np.unique(np.concatenate(arrs))))
-            out.append((qid, a, s, cnt))
-        return pd.DataFrame(
-            out, columns=["qid", "and_pos", "syn_pos", "df_part"]
-        )
+    # synset union-df. Singleton synsets read df straight off the
+    # dictionary; only multi-term synsets need the per-shard union
+    # pass over posting rows (shards partition doc space, so the
+    # union-df sums across shards).
+    singles = {k for k, terms in syn_terms.items() if len(terms) == 1}
+    df_s_map: dict = {}
+    dict_rows = qterms.select(
+        "qid", "and_pos", "syn_pos", "df"
+    ).collect()
+    multi_keys = []
+    for r in dict_rows:
+        key = (r["qid"], r["and_pos"], r["syn_pos"])
+        if key in singles:
+            df_s_map[key] = int(r["df"])
+        else:
+            multi_keys.append(key)
+    if multi_keys:
+        def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for (qid, a, s, shard), g in pdf.groupby(
+                ["qid", "and_pos", "syn_pos", "shard"]
+            ):
+                if len(g) == 1:
+                    cnt = int(g["n"].iloc[0])
+                else:
+                    arrs = [
+                        delta_decode(varbyte_decode(bytes(x)))
+                        for x in g["doc_gaps"]
+                    ]
+                    cnt = int(len(np.unique(np.concatenate(arrs))))
+                out.append((qid, a, s, cnt))
+            return pd.DataFrame(
+                out, columns=["qid", "and_pos", "syn_pos", "df_part"]
+            )
 
-    syn_df = (
-        qpost.groupBy("qid", "and_pos", "syn_pos", "shard")
-        .applyInPandas(
-            lambda _k, pdf: union_df(pdf),
-            schema="qid int, and_pos int, syn_pos int, df_part long",
+        mk = spark.createDataFrame(
+            list(set(multi_keys)), "qid int, and_pos int, syn_pos int"
         )
-        .groupBy("qid", "and_pos", "syn_pos")
-        .agg(F.sum("df_part").alias("df_s"))
-    )
-    df_s_map = {
-        (r["qid"], r["and_pos"], r["syn_pos"]): int(r["df_s"])
-        for r in syn_df.collect()
-    }
-    n_syn_map = {}
-    for r in (
-        queries_long.groupBy("qid", "and_pos")
-        .agg(F.countDistinct("syn_pos").alias("ns"))
-        .collect()
-    ):
-        n_syn_map[(r["qid"], r["and_pos"])] = int(r["ns"])
+        syn_df = (
+            qpost.join(
+                F.broadcast(mk), ["qid", "and_pos", "syn_pos"], "left_semi"
+            )
+            .groupBy("qid", "and_pos", "syn_pos", "shard")
+            .applyInPandas(
+                lambda _k, pdf: union_df(pdf),
+                schema="qid int, and_pos int, syn_pos int, df_part long",
+            )
+            .groupBy("qid", "and_pos", "syn_pos")
+            .agg(F.sum("df_part").alias("df_s"))
+        )
+        for r in syn_df.collect():
+            df_s_map[(r["qid"], r["and_pos"], r["syn_pos"])] = int(
+                r["df_s"]
+            )
     bc = spark.sparkContext.broadcast(
         (df_s_map, n_syn_map, num_docs, avg_len, k)
     )

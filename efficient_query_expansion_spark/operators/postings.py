@@ -146,15 +146,57 @@ def term_doc_tf(
         if "tokens" in transcripts.columns
         else with_tokens(with_norm_text(transcripts))
     )
-    occ = toks.select(
-        *doc_key, F.explode("tokens").alias("term")
-    ).where(F.col("term") != "")
+    # Per-doc tf needs NO shuffle: a document's tokens live in one
+    # row, so a vectorized Arrow pass (factorize + bincount over the
+    # whole batch) emits (doc, term, tf) directly. This beats both the
+    # explode + groupBy(doc, term) plan (which shuffles every token
+    # occurrence) and in-row HOF counting (lambda bodies re-evaluate
+    # captured expressions per element). The sole remaining shuffle in
+    # the index build is the one keyed by term.
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in toks.select(*doc_key).schema.fields
+    )
+
+    def count_tf(batches):
+        for pdf in batches:
+            arrs = pdf["tokens"].to_numpy()
+            lens = np.array([len(x) for x in arrs])
+            if len(lens) == 0 or lens.sum() == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in arrs]
+            )
+            rows = np.repeat(np.arange(len(pdf)), lens)
+            codes, uniq = pd.factorize(flat)
+            key = rows.astype(np.int64) * len(uniq) + codes
+            uk, counts = np.unique(key, return_counts=True)
+            ri = (uk // len(uniq)).astype(int)
+            ci = (uk % len(uniq)).astype(int)
+            out = {
+                k: pdf[k].to_numpy()[ri] for k in pdf.columns
+                if k != "tokens"
+            }
+            out["term"] = uniq[ci]
+            out["tf"] = counts.astype("int64")
+            yield pd.DataFrame(out)
+
+    occ = (
+        toks.select(*doc_key, "tokens")
+        .mapInPandas(count_tf, schema=f"{key_schema}, term string, tf long")
+        .where(F.col("term") != "")
+    )
     if patterns is not None:
-        multi = pattern_matches(
-            toks, patterns=patterns.where(F.col("pattern").contains(" "))
-        ).select(*doc_key, F.col("pattern").alias("term"))
+        multi = (
+            pattern_matches(
+                toks,
+                patterns=patterns.where(F.col("pattern").contains(" ")),
+            )
+            .groupBy(*doc_key, F.col("pattern").alias("term"))
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
         occ = occ.unionByName(multi)
-    return occ.groupBy(*doc_key, "term").agg(F.count(F.lit(1)).alias("tf"))
+    return occ
 
 
 def build_term_dictionary(tdf: DataFrame) -> DataFrame:
@@ -165,7 +207,7 @@ def build_term_dictionary(tdf: DataFrame) -> DataFrame:
     """
     stats = tdf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    )
+    ).persist()
     n = stats.sparkSession.sparkContext.defaultParallelism
     s = stats.repartitionByRange(n, "term").sortWithinPartitions("term")
     s = s.withColumn("_mid", F.monotonically_increasing_id()).persist()
@@ -203,6 +245,7 @@ def build_index(
     shard_size: int = DEFAULT_SHARD_SIZE,
     block: int = BLOCK,
     doc_key: list[str] = DOC_KEY,
+    materialize_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Full index build. Returns dict of DataFrames:
 
@@ -216,7 +259,18 @@ def build_index(
     """
     spark = transcripts.sparkSession
     toks = with_tokens(with_norm_text(transcripts))
-    toks = toks.persist()
+    # NOTE deliberately no .persist() on toks/tdf: building a columnar
+    # cache of 10^7 token arrays is a serial allocation/GC tax that
+    # dominated the build (measured ~13s unscalable per cache at 500k
+    # turns). With ``materialize_dir`` the tokenized corpus is instead
+    # written once as parquet and re-read — a parallel, compressed
+    # intermediate table (what a production pipeline checkpoints to
+    # Iceberg), so downstream consumers scan it instead of recomputing
+    # normalization. Only small aggregates use executor caches.
+    if materialize_dir is not None:
+        toks_path = f"{materialize_dir}/toks"
+        toks.write.mode("overwrite").parquet(toks_path)
+        toks = spark.read.parquet(toks_path)
 
     docs = assign_doc_ordinals(toks, doc_key).persist()
     meta_row = docs.agg(
@@ -224,7 +278,8 @@ def build_index(
         F.avg("doc_len").alias("avg_doc_len"),
         F.sum("doc_len").alias("total_terms"),
     )
-    avg_len = meta_row.collect()[0]["avg_doc_len"] or 1.0
+    meta_vals = meta_row.collect()[0]
+    avg_len = meta_vals["avg_doc_len"] or 1.0
 
     tdf = term_doc_tf(toks, patterns, doc_key)
     dictionary = build_term_dictionary(tdf).persist()
@@ -329,6 +384,8 @@ def build_index(
         "postings": postings,
         "doclens": doclens,
         "meta": meta_row,
+        # driver-side cache so query plans skip the meta job
+        "meta_values": (int(meta_vals["num_docs"]), float(avg_len)),
         "_toks": toks,
     }
 
@@ -375,7 +432,10 @@ def write_index(index: dict[str, DataFrame], path: str) -> dict:
 def read_index(spark, path: str) -> dict[str, DataFrame]:
     import os
 
-    return {
+    out = {
         name: spark.read.parquet(os.path.join(path, name))
         for name in ["docs", "dictionary", "postings", "doclens", "meta"]
     }
+    m = out["meta"].collect()[0]
+    out["meta_values"] = (int(m["num_docs"]), float(m["avg_doc_len"]))
+    return out

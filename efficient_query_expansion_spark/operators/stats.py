@@ -94,33 +94,25 @@ def pair_occurrences(
             ", ".join(f"{k} string" for k in ["conv_id"])
             + ", turn_idx int, t1 string, t2 string, gap int",
         )
-    parts = []
-    for d in range(1, window_pairs):
-        part = tokens_df.select(
-            *doc_key,
-            F.explode(
-                F.arrays_zip(
-                    F.slice(
-                        F.col("tokens"), 1,
-                        F.greatest(F.col("n_tokens") - d, F.lit(0)),
-                    ).alias("l"),
-                    F.slice(
-                        F.col("tokens"), d + 1,
-                        F.greatest(F.col("n_tokens") - d, F.lit(0)),
-                    ).alias("r"),
-                )
-            ).alias("pr"),
-        ).select(
-            *doc_key,
-            F.least("pr.l", "pr.r").alias("t1"),
-            F.greatest("pr.l", "pr.r").alias("t2"),
-            F.lit(d - 1).alias("gap"),
-        )
-        parts.append(part)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE scan, no join, no union: posexplode each token, then
+    # posexplode its lookahead window slice — every in-window ordered
+    # pair appears exactly once with gap = lookahead offset. The whole
+    # plan is two generators inside one whole-stage-codegen span.
+    left = tokens_df.select(
+        *doc_key, "tokens", F.posexplode("tokens").alias("pos", "l")
+    )
+    return left.select(
+        *doc_key,
+        "l",
+        F.posexplode(
+            F.slice(F.col("tokens"), F.col("pos") + 2, window_pairs - 1)
+        ).alias("gap", "r"),
+    ).select(
+        *doc_key,
+        F.least("l", "r").alias("t1"),
+        F.greatest("l", "r").alias("t2"),
+        "gap",
+    )
 
 
 def pair_stats_from_occurrences(

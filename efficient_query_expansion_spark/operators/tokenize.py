@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from efficient_query_expansion_spark.functions.normalize import (
+    ascii_fold_udf,
     normalize_text_col,
     normalize_text_udf,
 )
@@ -28,16 +29,20 @@ def with_norm_text(
 ) -> DataFrame:
     """Attach the canonical normalized text.
 
-    ``ascii_fast_path=True`` uses the pure-JVM Column pipeline (valid
-    when input is known ASCII-clean, e.g. the synthetic ``documents``
-    table); default is the general Arrow UDF.
+    Default is the hybrid plan: an Arrow UDF performs ONLY the
+    NFD→ASCII fold (pass-through for already-ASCII rows), and the
+    regex/lower/trim steps run as JVM expressions in whole-stage
+    codegen — bit-identical to the reference pipeline (the fold
+    commutes with nothing, so it stays first, exactly as in
+    normalize_text.py:17-31). ``ascii_fast_path=True`` skips the fold
+    entirely for corpora known to be ASCII-clean.
     """
-    norm: Column = (
-        normalize_text_col(F.col(text_col))
+    base: Column = (
+        F.col(text_col)
         if ascii_fast_path
-        else normalize_text_udf(F.col(text_col))
+        else ascii_fold_udf(F.col(text_col))
     )
-    return df.withColumn(out_col, norm)
+    return df.withColumn(out_col, normalize_text_col(base))
 
 
 def with_tokens(df: DataFrame, norm_col: str = "norm_text") -> DataFrame:

@@ -1,0 +1,153 @@
+"""Sources (S2-S9) and streaming incremental-maintenance tests."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_custom_block_reader(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text(
+        "doc1\nTitle One\nline a\nline b\n\n"
+        "doc2\nTitle Two\nonly line\n\n"
+    )
+    from efficient_query_expansion_spark.sources.corpus import (
+        read_documents,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in read_documents(spark, str(p), "custom").collect()
+    }
+    assert rows["doc1"]["title"] == "Title One"
+    assert rows["doc1"]["content"] == "line a\nline b"
+    assert rows["doc2"]["content"] == "only line"
+
+
+def test_wiki_and_sphinx_readers(spark, tmp_path):
+    from efficient_query_expansion_spark.sources.corpus import (
+        read_documents,
+    )
+
+    w = tmp_path / "wiki.txt.gz"
+    w.write_bytes(
+        gzip.compress(
+            b'<doc id="42" url="u" title="Page A">\nbody text\n</doc>\n'
+            b'<doc id="43" url="u" title="Page B">\nmore\n</doc>\n'
+        )
+    )
+    rows = {
+        r["doc_id"]: r for r in read_documents(spark, str(w), "wiki").collect()
+    }
+    assert rows["42"]["title"] == "Page A" and rows["42"]["content"] == "body text"
+
+    s = tmp_path / "sphinx.xml"
+    s.write_text(
+        "<sphinx:document id='7'><title>T</title><content>C</content>"
+        "<url>http://x</url><keywords>k</keywords>"
+        "<description>d</description></sphinx:document>"
+    )
+    r = read_documents(spark, str(s), "sphinx").collect()[0]
+    assert (r["doc_id"], r["title"], r["url"]) == ("7", "T", "http://x")
+
+
+def test_alias_tsv_roundtrip(spark, tmp_path):
+    from efficient_query_expansion_spark.sources.thesaurus_io import (
+        read_alias_tsv,
+        write_alias_tsv,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "Title", ["a", "b"]), ("2", "Other", [])],
+        "page_id string, title string, aliases array<string>",
+    )
+    out = str(tmp_path / "tsv")
+    write_alias_tsv(df, out)
+    back = {r["page_id"]: r for r in read_alias_tsv(spark, out).collect()}
+    assert back["1"]["title"] == "Title"
+    assert list(back["1"]["aliases"]) == ["a", "b"]
+
+
+def test_openoffice_parser(spark, tmp_path):
+    from efficient_query_expansion_spark.sources.thesaurus_io import (
+        parse_openoffice_thesaurus,
+    )
+
+    p = tmp_path / "th.dat"
+    p.write_text(
+        "car|2\n(noun)|auto|automobile\n(noun)|vehicle\n"
+        "fast|1\n(adj)|quick|rapid\n"
+    )
+    rows = parse_openoffice_thesaurus(spark, str(p)).collect()
+    by = {(r["word"], r["meaning_idx"]): r for r in rows}
+    assert list(by[("car", 0)]["synonyms"]) == ["auto", "automobile"]
+    assert by[("car", 1)]["pos"] == "noun"
+    assert list(by[("fast", 0)]["synonyms"]) == ["quick", "rapid"]
+
+
+def test_incremental_stream_matches_batch(spark, tmp_path):
+    """foreachBatch merge (A6 streaming) == one-shot batch stats."""
+    from efficient_query_expansion_spark.fixtures import spark_transcripts
+    from efficient_query_expansion_spark.operators.stats import term_stats
+    from efficient_query_expansion_spark.operators.tokenize import (
+        token_positions,
+        with_norm_text,
+        with_tokens,
+    )
+    from efficient_query_expansion_spark.streaming.incremental import (
+        incremental_term_stats,
+    )
+
+    t = spark_transcripts(spark, n_convs=12)
+    inp = str(tmp_path / "in")
+    # two parquet drops arriving over time
+    t.where(F.col("conv_id") <= "conv000005").write.parquet(
+        inp + "/drop1.parquet"
+    )
+    t.where(F.col("conv_id") > "conv000005").write.parquet(
+        inp + "/drop2.parquet"
+    )
+    state = str(tmp_path / "state")
+    q = incremental_term_stats(
+        spark, inp + "/*", state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["term"]: (r["df"], r["tf"], r["tf2"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["term"]: (r["df"], r["tf"], r["tf2"])
+        for r in term_stats(
+            token_positions(with_tokens(with_norm_text(t)))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_windowed_turn_rates_stream(spark, tmp_path):
+    from efficient_query_expansion_spark.fixtures import spark_transcripts
+    from efficient_query_expansion_spark.streaming.incremental import (
+        windowed_turn_rates,
+    )
+
+    t = spark_transcripts(spark, n_convs=10)
+    inp = str(tmp_path / "in2")
+    t.write.parquet(inp + "/all.parquet")
+    agg = windowed_turn_rates(spark, inp + "/*")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rates_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rates_out").collect()
+    assert sum(r["n_turns"] for r in rows) == t.count()
+    assert {r["role"] for r in rows} == {"user", "assistant", "tool"}
