@@ -1305,3 +1305,92 @@ FROM tags GROUP BY qid, syn_pos, cand
 
 
 register("expansion_candidates", q_expansion_candidates, _expansion_sql())
+
+
+# ---------------------------------------------------------------------------
+# QueryPerformance counts + recall/EET (the ds2i contract, §3.1)
+# ---------------------------------------------------------------------------
+
+_REL_MARKERS = {0: "slow", 1: "dup", 2: "key", 3: "spark", 4: "big",
+                5: "line"}
+
+
+def q_query_performance(spark, sf_dir):
+    """QueryPerformance (num_ret/num_rel/num_rel_ret) + recall per
+    query: CNF containment matches vs marker-term qrels
+    (index_cache.py:10-17 contract; relevance = docs containing a
+    per-query marker term)."""
+    from efficient_query_expansion_spark.operators.cnf import (
+        cnf_match_expr,
+    )
+    from efficient_query_expansion_spark.operators.metrics import (
+        query_performance,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TK.normalize_text_col(F.col("text")).alias("nt")
+    )
+    padded = F.concat(F.lit(" "), F.col("nt"), F.lit(" "))
+    m_parts, r_parts = [], []
+    for qid, repr_ in BM25_QUERIES.items():
+        m_parts.append(
+            d.where(cnf_match_expr(F.col("nt"), repr_)).select(
+                F.lit(qid).alias("qid"), "doc_id"
+            )
+        )
+        r_parts.append(
+            d.where(padded.contains(f" {_REL_MARKERS[qid]} ")).select(
+                F.lit(qid).alias("qid"), "doc_id"
+            )
+        )
+    matches = m_parts[0]
+    for p in m_parts[1:]:
+        matches = matches.unionByName(p)
+    qrels = r_parts[0]
+    for p in r_parts[1:]:
+        qrels = qrels.unionByName(p)
+    perf = query_performance(matches, qrels, doc_key=["doc_id"])
+    return perf.select(
+        "qid", "num_ret", "num_rel", "num_rel_ret",
+        F.round(
+            F.col("num_rel_ret").cast("double")
+            / F.col("num_rel").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _query_performance_sql() -> str:
+    sel = []
+    for qid, repr_ in BM25_QUERIES.items():
+        ors = []
+        for aq in repr_:
+            ands = []
+            for synset in aq:
+                syn = " OR ".join(
+                    f"(' ' || {_NORM} || ' ') LIKE '% {t} %'"
+                    for (t, *_x) in synset
+                )
+                ands.append(f"({syn})")
+            ors.append("(" + " AND ".join(ands) + ")")
+        cnf = " OR ".join(ors)
+        rel = (
+            f"(' ' || {_NORM} || ' ') LIKE '% {_REL_MARKERS[qid]} %'"
+        )
+        sel.append(f"""
+SELECT {qid} AS qid,
+       CAST(sum(CASE WHEN {cnf} THEN 1 ELSE 0 END) AS BIGINT)
+         AS num_ret,
+       CAST(sum(CASE WHEN {rel} THEN 1 ELSE 0 END) AS BIGINT)
+         AS num_rel,
+       CAST(sum(CASE WHEN ({cnf}) AND ({rel}) THEN 1 ELSE 0 END)
+         AS BIGINT) AS num_rel_ret,
+       round(CAST(sum(CASE WHEN ({cnf}) AND ({rel}) THEN 1 ELSE 0 END)
+         AS DOUBLE) / CAST(sum(CASE WHEN {rel} THEN 1 ELSE 0 END)
+         AS DOUBLE), 6) AS recall
+FROM documents""")
+    return " UNION ALL ".join(sel)
+
+
+register("query_performance_recall", q_query_performance,
+         _query_performance_sql())
