@@ -394,14 +394,26 @@ def build_index(
 # persistence: resumable per-shard write with lineage + metrics
 # ---------------------------------------------------------------------------
 
-def write_index(index: dict[str, DataFrame], path: str) -> dict:
+def write_index(
+    index: dict[str, DataFrame], path: str, shard_partitioned: bool = True
+) -> dict:
     """Persist the index as parquet segments (Iceberg-shaped layout:
     data files + a JSON manifest acting as the snapshot/segment
     catalog; the real deployment writes the same frames through an
     Iceberg catalog — jars are gated, see sources/iceberg.py).
 
-    Skips components whose segment directory already exists with a
-    ``_SUCCESS`` marker → resumable builds. Returns build metrics.
+    Resumability is two-level:
+
+    * component level — a segment directory with ``_SUCCESS`` is
+      skipped entirely;
+    * shard level — ``postings``/``doclens`` are written
+      ``partitionBy("shard")``; an interrupted build resumes by
+      writing ONLY the missing shard partitions (dynamic-overwrite
+      style), see :func:`resume_postings_write`.
+
+    Per-segment lineage (inputs, codec parameters) and build metrics
+    (seconds, row counts) land in ``manifest.json``. Returns the
+    manifest dict.
     """
     import json
     import os
@@ -414,19 +426,60 @@ def write_index(index: dict[str, DataFrame], path: str) -> dict:
             metrics[name] = {"skipped": True}
             continue
         t0 = time.time()
-        index[name].write.mode("overwrite").parquet(seg)
-        metrics[name] = {"seconds": round(time.time() - t0, 3)}
+        writer = index[name].write.mode("overwrite")
+        if shard_partitioned and name in ("postings", "doclens"):
+            writer = writer.partitionBy("shard")
+        writer.parquet(seg)
+        metrics[name] = {
+            "seconds": round(time.time() - t0, 3),
+            "rows": index[name].count(),
+        }
     manifest = {
         "segments": metrics,
         "lineage": {
             "builder": "efficient_query_expansion_spark",
             "block": BLOCK,
             "bm25": {"k1": K1, "b": B},
+            "shard_partitioned": shard_partitioned,
         },
     }
     with open(os.path.join(path, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
     return manifest
+
+
+def resume_postings_write(index: dict[str, DataFrame], path: str) -> list:
+    """Shard-level resume: build + write only the posting shards whose
+    partition directory is missing (e.g. after an interrupted write).
+    Returns the list of shard ids that were (re)built.
+
+    Because every ``(term_id, shard)`` posting row is a pure function
+    of the doc-range it covers, filtering the build to the missing
+    shards is both correct and cheap — Catalyst prunes the term-hash
+    shuffle to the selected shard ids.
+    """
+    import os
+
+    seg = os.path.join(path, "postings")
+    existing = set()
+    if os.path.isdir(seg):
+        for d in os.listdir(seg):
+            if d.startswith("shard="):
+                existing.add(int(d.split("=", 1)[1]))
+    all_shards = {
+        r["shard"]
+        for r in index["postings"].select("shard").distinct().collect()
+    }
+    missing = sorted(all_shards - existing)
+    if missing:
+        (
+            index["postings"]
+            .where(F.col("shard").isin([int(s) for s in missing]))
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(seg)
+        )
+    return missing
 
 
 def read_index(spark, path: str) -> dict[str, DataFrame]:
