@@ -1394,3 +1394,107 @@ FROM documents""")
 
 register("query_performance_recall", q_query_performance,
          _query_performance_sql())
+
+
+# ---------------------------------------------------------------------------
+# F1/F2 — textual featurizer over expansion candidates
+# ---------------------------------------------------------------------------
+
+def q_textual_features(spark, sf_dir):
+    """12 textual features (featurizer_textual.pyx:167-184) for every
+    expansion candidate vs its (singleton) base synset."""
+    from efficient_query_expansion_spark.features.featurizers import (
+        textual_features,
+    )
+
+    cand = q_expansion_candidates(spark, sf_dir).select(
+        "qid", "and_pos", "syn_pos", "term",
+        F.split("tags", ",").alias("tags"),
+    )
+    base_rows = []
+    for qid, q in _EXP_QUERIES:
+        kept = [t for t in q.split() if t not in ("the", "a")]
+        for i, t in enumerate(kept or q.split()):
+            base_rows.append((qid, 0, i, t))
+    base = spark.createDataFrame(
+        base_rows, "qid int, and_pos int, syn_pos int, term string"
+    )
+    out = textual_features(cand, base)
+    ratio_cols = [
+        "edit_len_ratio_dist", "pref_max_ratio_dist",
+        "pref_len_ratio_dist", "suff_max_ratio_dist",
+        "suff_len_ratio_dist",
+    ]
+    int_cols = [
+        "exp_length", "edit_dist", "edit_min_common_len", "prefix_dist",
+        "pref_min_common_len", "suffix_dist", "suff_min_common_len",
+    ]
+    return out.select(
+        "qid", "and_pos", "syn_pos", "term",
+        *[F.col(c).cast("int").alias(c) for c in int_cols],
+        *[
+            F.round(F.col(c).cast("double"), 5).alias(c)
+            for c in ratio_cols
+        ],
+    )
+
+
+def _textual_sql() -> str:
+    base_rows = []
+    for qid, q in _EXP_QUERIES:
+        kept = [t for t in q.split() if t not in ("the", "a")]
+        for i, t in enumerate(kept or q.split()):
+            base_rows.append(f"({qid}, {i}, '{t}')")
+    exp_body = _expansion_sql().strip()
+    return f"""
+WITH cand AS ({exp_body}),
+base(qid, syn_pos, bterm) AS (VALUES {', '.join(base_rows)}),
+x AS (
+  SELECT c.qid, c.and_pos, c.syn_pos, c.term,
+         replace(c.term, ' ', '') AS ct, replace(b.bterm, ' ', '') AS bt
+  FROM cand c JOIN base b ON b.qid = c.qid AND b.syn_pos = c.syn_pos
+),
+series AS (SELECT unnest(generate_series(1, 64)) AS i),
+ps AS (
+  SELECT x.qid, x.syn_pos, x.term,
+    coalesce(max(CASE WHEN s.i <= least(len(ct), len(bt))
+      AND substr(ct, 1, s.i) = substr(bt, 1, s.i)
+      THEN s.i END), 0) AS pref,
+    coalesce(max(CASE WHEN s.i <= least(len(ct), len(bt))
+      AND substr(ct, len(ct) - s.i + 1) = substr(bt, len(bt) - s.i + 1)
+      THEN s.i END), 0) AS suff
+  FROM x CROSS JOIN series s GROUP BY 1, 2, 3
+),
+f AS (
+  SELECT x.*,
+    least(len(ct), len(bt)) AS min_len,
+    CAST(len(ct) AS DOUBLE) / len(bt) AS len_ratio,
+    levenshtein(ct, bt) AS lev,
+    ps.pref, ps.suff
+  FROM x JOIN ps ON ps.qid = x.qid AND ps.syn_pos = x.syn_pos
+                AND ps.term = x.term
+)
+SELECT qid, and_pos, syn_pos, term,
+  CAST(len(ct) AS INT) AS exp_length,
+  CAST(lev AS INT) AS edit_dist,
+  CAST(min_len AS INT) AS edit_min_common_len,
+  CAST(pref AS INT) AS prefix_dist,
+  CAST(CASE WHEN pref > 0 THEN min_len ELSE 0 END AS INT)
+    AS pref_min_common_len,
+  CAST(suff AS INT) AS suffix_dist,
+  CAST(CASE WHEN suff > 0 THEN min_len ELSE 0 END AS INT)
+    AS suff_min_common_len,
+  round(len_ratio, 5) AS edit_len_ratio_dist,
+  round(CASE WHEN pref > 0 THEN CAST(pref AS DOUBLE) / min_len
+        ELSE 0 END, 5) AS pref_max_ratio_dist,
+  round(CASE WHEN pref > 0 THEN len_ratio ELSE 0 END, 5)
+    AS pref_len_ratio_dist,
+  round(CASE WHEN suff > 0 THEN CAST(suff AS DOUBLE) / min_len
+        ELSE 0 END, 5) AS suff_max_ratio_dist,
+  round(CASE WHEN suff > 0 THEN len_ratio ELSE 0 END, 5)
+    AS suff_len_ratio_dist
+FROM f
+"""
+
+
+register("f2_textual_features", q_textual_features, _textual_sql())
