@@ -109,7 +109,7 @@ def run_queries(spark, index, timings: dict) -> None:
     for qid, repr_ in BM25_QUERIES.items():
         qlong = query_reprs_to_long_df(spark, {qid: repr_})
         t0 = time.time()
-        sharded_topk(qlong, index, k=K).collect()
+        sharded_topk(qlong, index, k=K, qreprs={qid: repr_}).collect()
         lat.append(time.time() - t0)
     lat.sort()
     timings["bm25_query_avg"] = round(sum(lat) / len(lat), 3)
@@ -119,7 +119,7 @@ def run_queries(spark, index, timings: dict) -> None:
     # batched evaluation (the engine's natural mode)
     qlong = query_reprs_to_long_df(spark, BM25_QUERIES)
     t0 = time.time()
-    sharded_topk(qlong, index, k=K).collect()
+    sharded_topk(qlong, index, k=K, qreprs=BM25_QUERIES).collect()
     timings["bm25_query_batch"] = round(time.time() - t0, 3)
 
 
@@ -134,6 +134,34 @@ def run_stats(spark, timings: dict) -> None:
     t0 = time.time()
     pair_stats(t, window_pairs=12).count()
     timings["pair_stats_w12"] = round(time.time() - t0, 3)
+
+    # training-data pipeline headliners over the same corpus
+    from efficient_query_expansion_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingles,
+    )
+    from efficient_query_expansion_spark.operators.textstats import (
+        quality_score,
+    )
+    from pyspark.sql import functions as F
+
+    # dedup on the UNREPLICATED corpus: the x100 replication makes
+    # every doc 99 exact twins => a quadratic candidate-pair blowup
+    # that measures the pathology, not the operator
+    base = with_tokens(with_norm_text(
+        _corpus(spark, replicate=1), ascii_fast_path=True))
+    docs = base.select(
+        F.concat_ws("#", "conv_id", "turn_idx").alias("doc_id"),
+        "text", "tokens", "n_tokens",
+    )
+    t0 = time.time()
+    sig = minhash_signatures(token_shingles(docs, n=3))
+    lsh_candidate_pairs(sig).count()
+    timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    quality_score(docs, docs).count()
+    timings["text_quality"] = round(time.time() - t0, 3)
 
 
 def scaling_run() -> dict:

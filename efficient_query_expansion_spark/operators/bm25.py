@@ -172,6 +172,7 @@ def sharded_topk(
     index: dict[str, DataFrame],
     k: int = 10,
     doc_key: list[str] = DOC_KEY,
+    qreprs: dict | None = None,
 ) -> DataFrame:
     """Top-k from the compressed sharded index; rank-identical (and
     score-bit-identical) to :func:`exact_topk`.
@@ -183,11 +184,21 @@ def sharded_topk(
         meta = index["meta"].collect()[0]
         num_docs, avg_len = int(meta["num_docs"]), float(meta["avg_doc_len"])
 
-    # query sets are small by construction — one tiny driver pass gives
-    # the synset shapes, so synset counting needs no Spark job
-    qrows = queries_long.select(
-        "qid", "and_pos", "syn_pos", "term"
-    ).collect()
+    # query sets are small by construction — the synset shapes come
+    # either from the caller's repr dict (no Spark job at all) or one
+    # tiny collect
+    if qreprs is not None:
+        qrows = [
+            {"qid": int(qid), "and_pos": a, "syn_pos": s, "term": t[0]}
+            for qid, repr_ in qreprs.items()
+            for a, aq in enumerate(repr_)
+            for s, synset in enumerate(aq)
+            for t in synset
+        ]
+    else:
+        qrows = queries_long.select(
+            "qid", "and_pos", "syn_pos", "term"
+        ).collect()
     n_syn_map: dict = {}
     syn_terms: dict = {}
     for r in qrows:

@@ -165,3 +165,30 @@ def test_tokenize_positions(spark, transcripts_tiny):
     for _, r in m.iterrows():
         toks = tok[(r.conv_id, r.turn_idx)]
         assert " ".join(toks[r.start_pos : r.end_pos + 1]) == r.pattern
+
+
+def test_fuzz_hybrid_pipeline_vs_spec(spark):
+    """Random unicode/control/punctuation strings: the distributed
+    hybrid plan (Arrow fold + JVM translate) must equal the pure-
+    Python specification byte-for-byte."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = (
+        [chr(c) for c in range(0x20, 0x7F)]
+        + ["é", "ü", "ß", "漢", "字", "→", "…", "\x00", "\x07", "\n",
+           "\r", "\t", "\x0b", "•", "Ω", "ñ", "́", " ", "  "]
+    )
+    raws = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    from efficient_query_expansion_spark.operators.tokenize import (
+        with_norm_text,
+    )
+
+    df = spark.createDataFrame([(r,) for r in raws], "text string")
+    got = [r["norm_text"] for r in with_norm_text(df).collect()]
+    # row order preserved for a narrow local frame without shuffle
+    want = [normalize_text_py(r) for r in raws]
+    assert got == want
