@@ -66,6 +66,75 @@ class RuleMorph:
         return w + "s"
 
 
+def _lemma_word_expr(w):
+    """Column-expression mirror of ``RuleMorph.lemma`` for one word."""
+    return (
+        F.when(
+            (F.length(w) > 3) & w.endswith("ies"),
+            F.concat(w.substr(F.lit(1), F.length(w) - 3), F.lit("y")),
+        )
+        .when(
+            (F.length(w) > 3)
+            & (
+                w.endswith("ses") | w.endswith("xes") | w.endswith("zes")
+                | w.endswith("ches") | w.endswith("shes")
+            ),
+            w.substr(F.lit(1), F.length(w) - 2),
+        )
+        .when(
+            (F.length(w) > 2) & w.endswith("s") & ~w.endswith("ss"),
+            w.substr(F.lit(1), F.length(w) - 1),
+        )
+        .otherwise(w)
+    )
+
+
+def _plural_word_expr(w):
+    """Column-expression mirror of ``RuleMorph.pluralize`` for one word."""
+    prev_ch = w.substr(F.length(w) - 1, F.lit(1))
+    return (
+        F.when(
+            w.endswith("y")
+            & (F.length(w) > 1)
+            & ~prev_ch.isin(*list(VOWELS)),
+            F.concat(w.substr(F.lit(1), F.length(w) - 1), F.lit("ies")),
+        )
+        .when(
+            w.endswith("s") | w.endswith("x") | w.endswith("z")
+            | w.endswith("ch") | w.endswith("sh"),
+            F.concat(w, F.lit("es")),
+        )
+        .otherwise(F.concat(w, F.lit("s")))
+    )
+
+
+def lemma_col(col):
+    """JVM-side ``RuleMorph.lemma`` over a (possibly multiword) term —
+    every word is lemmatized; parity with the Python spec is tested
+    in tests/test_expansion.py."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws(
+        " ", F.transform(F.split(col, " "), _lemma_word_expr)
+    )
+
+
+def pluralize_col(col):
+    """JVM-side ``RuleMorph.pluralize`` — only the LAST word is
+    pluralized (reference pattern.en usage: nb 1.1)."""
+    col = F.col(col) if isinstance(col, str) else col
+    parts = F.split(col, " ")
+    n = F.size(parts)
+    return F.concat_ws(
+        " ",
+        F.transform(
+            parts,
+            lambda w, i: F.when(i == n - 1, _plural_word_expr(w)).otherwise(
+                w
+            ),
+        ),
+    )
+
+
 class GreedySegmenter:
     """Longest-match-left-to-right phrase segmentation over a phrase
     dictionary (phrases = multiword thesaurus segments with
@@ -136,7 +205,6 @@ def build_part1_candidates(
     spark: SparkSession,
     segments: DataFrame,       # (segment_id, segment)
     meanings: DataFrame,       # (segment_id, meaning_id, pos, syn_segment_id)
-    morph=RuleMorph,
 ) -> DataFrame:
     """Dimension table: source term → thesaurus candidates with tags.
 
@@ -145,9 +213,12 @@ def build_part1_candidates(
     segments whose lemma equals it; Syn = synonym segments of the
     Norm segments' meanings minus extensions; Plu = plurals of the
     noun Norms+Syns.
+
+    Morphology runs as JVM column expressions (``lemma_col`` /
+    ``pluralize_col``) — no per-row Python anywhere in the plan.
     """
-    lemma_udf = F.udf(morph.lemma, "string")
-    plural_udf = F.udf(morph.pluralize, "string")
+    lemma_udf = lemma_col
+    plural_udf = pluralize_col
 
     seg = segments.select("segment_id", "segment")
     seg_pos = (

@@ -94,11 +94,20 @@ TEXTUAL_NAMES = (
 
 
 def textual_features(cand_long: DataFrame, base_long: DataFrame) -> DataFrame:
-    """12 string-distance features vs the base synset (Arrow UDF)."""
+    """12 string-distance features vs the base synset (Arrow UDF).
+
+    The reference iterates the base synset in stored order with
+    order-sensitive tie-breaking (featurizer_textual.pyx:100-164), so
+    ``base_long`` may carry a ``term_pos`` column giving that order;
+    without it, synsets fall back to lexicographic order (identical
+    results for singleton synsets, the common case)."""
+    order_col = (
+        F.col("term_pos") if "term_pos" in base_long.columns else F.lit(0)
+    )
     base_sets = base_long.groupBy(*KEY).agg(
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct(F.lit(0).alias("o"), "term"))
+                F.collect_list(F.struct(order_col.alias("o"), "term"))
             ),
             lambda s: F.regexp_replace(s["term"], " ", ""),
         ).alias("base_terms")

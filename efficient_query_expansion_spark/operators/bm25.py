@@ -302,7 +302,10 @@ def sharded_topk(
                     ub += idf_py(dfs, num_docs) * max(
                         float(max(bm)) for bm in sg["block_max_part"]
                     )
-                if ub <= kth:
+                # strict: a pruned and_query could otherwise hide a
+                # doc whose exact score EQUALS kth but wins the
+                # (score, conv_id, turn_idx) tie-break
+                if ub < kth:
                     continue
             # decode + merge each synset, intersect progressively
             syn_data = []

@@ -59,10 +59,16 @@ class ResultCache:
                 r["cache_key"]
                 for r in cached.select("cache_key").distinct().collect()
             }
-        misses = {
-            qid: r for qid, r in qid_to_repr.items()
-            if keys[qid] not in hit_keys
-        }
+        # one representative qid per missing cache_key: two caller
+        # qids with the same canonical CNF must not both be evaluated
+        # and appended (reads join per key, so duplicate storage would
+        # duplicate every later result)
+        rep_for_key: dict[str, int] = {}
+        for qid in sorted(qid_to_repr):
+            key = keys[qid]
+            if key not in hit_keys and key not in rep_for_key:
+                rep_for_key[key] = qid
+        misses = {qid: qid_to_repr[qid] for qid in rep_for_key.values()}
         if misses:
             qlong = query_reprs_to_long_df(self.spark, misses)
             t0 = time.time()
@@ -83,7 +89,24 @@ class ResultCache:
                     "rank", "num_ret", F.lit(exe).alias("exe_time"),
                 )
             )
-            new_rows.write.mode("append").parquet(self.path)
+            # zero-result keys still get a marker row (rank NULL) so
+            # they are cache hits on the next call instead of being
+            # re-evaluated forever; readers filter markers out
+            empty_keys = (
+                key_df.join(counts, "qid", "left_anti")
+                .select(
+                    "cache_key", "qid",
+                    F.lit(None).cast("string").alias("conv_id"),
+                    F.lit(None).cast("int").alias("turn_idx"),
+                    F.lit(None).cast("double").alias("score"),
+                    F.lit(None).cast("int").alias("rank"),
+                    F.lit(0).cast("long").alias("num_ret"),
+                    F.lit(exe).alias("exe_time"),
+                )
+            )
+            new_rows.unionByName(empty_keys).write.mode("append").parquet(
+                self.path
+            )
         result = self._load()
         want_keys = self.spark.createDataFrame(
             [(k_,) for k_ in set(keys.values())], "cache_key string"
@@ -96,7 +119,8 @@ class ResultCache:
             "cache_key string, out_qid int",
         )
         return (
-            out.join(F.broadcast(key_map), "cache_key")
+            out.where(F.col("rank").isNotNull())  # drop empty markers
+            .join(F.broadcast(key_map), "cache_key")
             .drop("qid")
             .withColumnRenamed("out_qid", "qid")
             .select(

@@ -52,21 +52,40 @@ def incremental_term_stats(
     )
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import json
+        import os
+        import shutil
+
+        # applied-epoch ledger lives INSIDE the swapped state dir
+        # (underscore prefix → invisible to parquet readers), so the
+        # "merge applied" fact commits atomically with the data: if
+        # the streaming checkpoint commit fails after our swap, the
+        # redelivered micro-batch is recognized and skipped instead of
+        # double-counted.
+        ledger = os.path.join(state_path, "_applied_epochs.json")
+        applied: list[int] = []
+        if os.path.exists(ledger):
+            with open(ledger) as f:
+                applied = json.load(f)
+        if int(epoch_id) in applied:
+            return  # redelivery after a checkpoint-commit failure
+
         part = term_stats(
             token_positions(with_tokens(with_norm_text(batch_df)))
         )
-        try:
+        # narrow missing-state check: real read errors must propagate,
+        # not silently reset the accumulated stats
+        if os.path.exists(state_path):
             prev = batch_df.sparkSession.read.parquet(state_path)
             merged = merge_term_stats(prev, part)
-        except Exception:
+        else:
             merged = part
         # write-then-swap for atomicity on plain files (an Iceberg
         # catalog would make this a snapshot commit)
         tmp = state_path + f".epoch{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-        import os
-
+        with open(os.path.join(tmp, "_applied_epochs.json"), "w") as f:
+            json.dump(applied + [int(epoch_id)], f)
         if os.path.exists(state_path):
             shutil.rmtree(state_path)
         os.rename(tmp, state_path)

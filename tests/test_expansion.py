@@ -145,3 +145,30 @@ def test_expand_good_terms_filter(spark, thesaurus, segmenter):
     out = expand(base, p1, p2, good_unary_terms=good)
     terms = {r["term"] for r in out.collect()}
     assert terms == {"auto"}  # only candidates made of good unigrams
+
+
+def test_morph_column_exprs_match_python_spec(spark):
+    """lemma_col / pluralize_col (JVM exprs) == RuleMorph (the spec)."""
+    from efficient_query_expansion_spark.expansion import (
+        RuleMorph,
+        lemma_col,
+        pluralize_col,
+    )
+
+    words = [
+        "car", "cars", "cities", "city", "ies", "ties", "boxes", "box",
+        "buses", "bus", "quizzes", "churches", "church", "wishes",
+        "wish", "glass", "glasses", "ss", "s", "xs", "ches", "shes",
+        "gas", "day", "days", "boy", "toy", "fly", "sky", "y", "ay",
+        "fox", "buzz", "match", "dish", "hero", "new york", "red cars",
+        "big cities", "hot dog", "a ses",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    got = df.select(
+        "term",
+        lemma_col("term").alias("lem"),
+        pluralize_col("term").alias("plu"),
+    ).collect()
+    for r in got:
+        assert r["lem"] == RuleMorph.lemma(r["term"]), r["term"]
+        assert r["plu"] == RuleMorph.pluralize(r["term"]), r["term"]
