@@ -105,6 +105,7 @@ def ctx(spark, transcripts_tiny):
         "o_term": {k: v for k, v in o_term.items()},
         "o_pair": {k: (v[2], v[4]) for k, v in o_pair.items()},
         "o_triple": {k: v[1] for k, v in o_triple.items()},
+        "o_triple_fg": {k: (v[1], v[3]) for k, v in o_triple.items()},
         "base": base, "cand": cand,
     }
 
@@ -205,3 +206,97 @@ def test_pipeline_compose_normalize_select_greedy(spark, ctx):
                     for r in rows}) == 2
     tk = topk_per_query(scored, 3)
     assert tk.groupBy("qid").count().agg(F.max("count")).collect()[0][0] <= 3
+
+
+# --------------------------------------------------------------------------
+# custom / sigir08extended featurizers — multi-term base synsets with a
+# stored order (term_pos); one candidate ("vehicle") absent from the
+# corpus to exercise the zero-co-occurrence gates
+# --------------------------------------------------------------------------
+CBASE = {
+    0: [[[("car",), ("auto",)], [("fast",)]]],
+    1: [[[("movie",)], [("big",), ("large",)], [("street",)]]],
+    2: [[[("ship",), ("boat",)]]],
+}
+CCAND = {
+    0: [[[("automobile",), ("vehicle",)], [("quick",), ("rapid",)]]],
+    1: [[[("film",)], [("huge",)], [("road",), ("avenue",)]]],
+    2: [[[("vessel",)]]],
+}
+
+
+def _long_dfs_ordered(spark):
+    base_rows, cand_rows = [], []
+    for qid in CBASE:
+        for a, aq in enumerate(CBASE[qid]):
+            for s, synset in enumerate(aq):
+                for tp, t in enumerate(synset):
+                    base_rows.append((qid, a, s, tp, t[0]))
+        for a, aq in enumerate(CCAND[qid]):
+            for s, synset in enumerate(aq):
+                for t in synset:
+                    cand_rows.append((qid, a, s, t[0]))
+    base = spark.createDataFrame(
+        base_rows,
+        "qid int, and_pos int, syn_pos int, term_pos int, term string",
+    )
+    cand = spark.createDataFrame(
+        cand_rows, "qid int, and_pos int, syn_pos int, term string"
+    )
+    return base, cand
+
+
+def test_custom_featurizer_parity(spark, ctx):
+    from efficient_query_expansion_spark.features.cooc_featurizers import (
+        CUSTOM_NAMES,
+        custom_features,
+    )
+    from tests.feature_oracle import custom_oracle
+
+    # the lexicographic min/max deviation (module docstring) requires
+    # corpus-present base terms — assert the fixture satisfies that
+    for qid in CBASE:
+        for aq in CBASE[qid]:
+            for synset in aq:
+                for t in synset:
+                    assert ctx["o_term"].get(t[0], (0,))[0] > 0, t[0]
+
+    base, cand = _long_dfs_ordered(spark)
+    got = custom_features(
+        cand, base, ctx["ts"], ctx["ps"], ctx["tr"]
+    ).collect()
+    assert len(got) == sum(
+        len(s) for q in CCAND.values() for a in q for s in a
+    )
+    tr3 = {k: (v, 0) for k, v in ctx["o_triple"].items()}
+    oracles = {
+        qid: custom_oracle(
+            CBASE[qid], CCAND[qid], ctx["o_term"], ctx["o_pair"], tr3
+        )
+        for qid in CBASE
+    }
+    _check(got, CUSTOM_NAMES, oracles)
+
+
+def test_sigir08_extended_parity(spark, ctx):
+    from efficient_query_expansion_spark.features.cooc_featurizers import (
+        EXT_NAMES,
+        sigir08_extended_features,
+    )
+    from tests.feature_oracle import sigir08_extended_oracle
+
+    base, cand = _long_dfs_ordered(spark)
+    got = sigir08_extended_features(
+        cand, base, ctx["ts"], ctx["ps"], ctx["tr"]
+    ).collect()
+    assert len(got) == sum(
+        len(s) for q in CCAND.values() for a in q for s in a
+    )
+    oracles = {
+        qid: sigir08_extended_oracle(
+            CBASE[qid], CCAND[qid], ctx["o_term"], ctx["o_pair"],
+            ctx["o_triple_fg"],
+        )
+        for qid in CBASE
+    }
+    _check(got, EXT_NAMES, oracles)
