@@ -1498,3 +1498,19 @@ FROM f
 
 
 register("f2_textual_features", q_textual_features, _textual_sql())
+
+
+# ---------------------------------------------------------------------------
+# F — collection-stats featurizers (featurizer_custom.pyx 71 feats,
+# featurizer_sigir08extended.pyx 42 feats)
+# ---------------------------------------------------------------------------
+
+from efficient_query_expansion_spark.plans import feat_queries as FQ  # noqa: E402
+
+register(
+    "f_custom_features", FQ.q_custom_features, FQ.custom_sql(_TOKS_CTE)
+)
+register(
+    "f4_sigir08_extended", FQ.q_sigir08_extended,
+    FQ.extended_sql(_TOKS_CTE),
+)
