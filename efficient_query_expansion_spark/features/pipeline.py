@@ -18,6 +18,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 KEY = ["qid", "and_pos", "syn_pos"]
@@ -70,21 +71,30 @@ def select_features(features: DataFrame, cols: list[str]) -> DataFrame:
 def score(
     features: DataFrame, cols: list[str], model=None
 ) -> DataFrame:
-    """Append a ``pred`` column. ``model``: fitted xgboost Booster
-    (batch inference in an Arrow UDF) or None → deterministic linear
-    fallback (sum of z-ish scaled features)."""
+    """Append a ``pred`` column. ``model``: a fitted model from
+    features/training.py — GBDTModel or xgboost Booster — scored
+    with Arrow batch inference (the model rides the closure, one
+    broadcast per executor); None → deterministic linear fallback
+    (sum of 1/(i+1)-weighted features)."""
     if model is not None:
-        import pandas as pd
+        from efficient_query_expansion_spark.features.training import (
+            GBDTModel,
+        )
+
+        is_gbdt = isinstance(model, GBDTModel)
 
         @F.pandas_udf("double")
-        def predict(*series: "pd.Series") -> "pd.Series":
+        def predict(*series: pd.Series) -> pd.Series:
             import numpy as np
-            import xgboost as xgb
 
-            X = np.column_stack([s.to_numpy("float32") for s in series])
-            return pd.Series(
-                model.predict(xgb.DMatrix(X)).astype("float64")
-            )
+            X = np.column_stack([s.to_numpy("float64") for s in series])
+            if is_gbdt:
+                y = model.predict(X)
+            else:  # pragma: no cover - xgboost absent in container
+                import xgboost as xgb
+
+                y = model.predict(xgb.DMatrix(X.astype("float32")))
+            return pd.Series(np.asarray(y, dtype="float64"))
 
         return features.withColumn("pred", predict(*[F.col(c) for c in cols]))
 
@@ -93,6 +103,15 @@ def score(
         t = F.col(c).cast("double") * (1.0 / (i + 1.0))
         expr = t if expr is None else expr + t
     return features.withColumn("pred", expr)
+
+
+def threshold_select(
+    scored: DataFrame, threshold: float, pred_col: str = "pred"
+) -> DataFrame:
+    """Binary pruning (XGBBinaryClassifier, nb 2.1 cell 31): keep
+    candidates with ``pred >= threshold`` — the threshold comes from
+    features/training.py:find_threshold."""
+    return scored.where(F.col(pred_col) >= F.lit(float(threshold)))
 
 
 def topk_per_query(
@@ -109,22 +128,34 @@ def topk_per_query(
 
 
 def greedy_select(
-    scored: DataFrame, steps: int, pred_col: str = "pred"
+    scored: DataFrame, steps: int, pred_col: str = "pred",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Greedy sequential selection (nb 2.1 cell 33): at each step take
     the argmax candidate per query among those not yet selected.
     Driver-side loop; each step is one batched Spark job over all
-    queries (T1: max_by per qid)."""
+    queries (T1: max_by per qid).
+
+    Every ``checkpoint_every`` steps the ``remaining``/``chosen``
+    lineage is truncated with localCheckpoint — otherwise the plan
+    stacks one left_anti + union per step and analysis cost explodes
+    past ~30 steps."""
     remaining = scored
     chosen = None
     for step in range(steps):
+        if step > 0 and checkpoint_every and step % checkpoint_every == 0:
+            remaining = remaining.localCheckpoint(eager=True)
+            chosen = chosen.localCheckpoint(eager=True)
+        # min_by on (-pred, and_pos, syn_pos, term) = fully
+        # deterministic argmax: pred desc, then key asc incl. term
         best = remaining.groupBy("qid").agg(
-            F.max_by(
+            F.min_by(
                 F.struct("and_pos", "syn_pos", "term", pred_col),
                 F.struct(
-                    F.col(pred_col),
-                    -F.col("and_pos"),
-                    -F.col("syn_pos"),
+                    -F.col(pred_col),
+                    F.col("and_pos"),
+                    F.col("syn_pos"),
+                    F.col("term"),
                 ),
             ).alias("b")
         ).select(

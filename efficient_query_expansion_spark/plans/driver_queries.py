@@ -1514,3 +1514,7 @@ register(
     "f4_sigir08_extended", FQ.q_sigir08_extended,
     FQ.extended_sql(_TOKS_CTE),
 )
+register(
+    "selection_pipeline", FQ.q_selection_pipeline,
+    FQ.selection_sql(_TOKS_CTE),
+)

@@ -664,3 +664,54 @@ LEFT JOIN fam2 f2 ON f2.qid = cd.qid AND f2.and_pos = cd.and_pos
 LEFT JOIN fam3 f3 ON f3.qid = cd.qid AND f3.and_pos = cd.and_pos
                  AND f3.syn_pos = cd.syn_pos AND f3.term = cd.term
 """
+
+
+# ---------------------------------------------------------------------------
+# selection pipeline (deterministic parts): featurize → score →
+# greedy-select. With static scores the greedy loop's selections are
+# provably the per-query top-k under the same total order, which is
+# what the DuckDB oracle expresses with row_number.
+# ---------------------------------------------------------------------------
+
+def q_selection_pipeline(spark, sf_dir):
+    """nb 2.1 selection wiring, deterministic scorer: pred =
+    exp_max_co_occ2 + 0.25*exp_tf_ratio + 0.01*exp_tf over the
+    custom-featurizer output; greedy_select 2 steps."""
+    from efficient_query_expansion_spark.features.pipeline import (
+        greedy_select,
+    )
+
+    cf = q_custom_features(spark, sf_dir)
+    scored = cf.select(
+        "qid", "and_pos", "syn_pos", "term",
+        (
+            F.col("exp_max_co_occ2")
+            + 0.25 * F.col("exp_tf_ratio")
+            + 0.01 * F.col("exp_tf")
+        ).alias("pred"),
+    )
+    sel = greedy_select(scored, steps=2)
+    return sel.select(
+        "qid", "and_pos", "syn_pos", "term",
+        F.round("pred", 5).alias("pred"), "step",
+    )
+
+
+def selection_sql(toks_cte: str) -> str:
+    return f"""
+WITH cf AS ({custom_sql(toks_cte)}),
+scored AS (
+  SELECT qid, and_pos, syn_pos, term,
+         exp_max_co_occ2 + 0.25 * exp_tf_ratio + 0.01 * exp_tf AS pred
+  FROM cf
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid
+    ORDER BY pred DESC, and_pos, syn_pos, term) AS rn
+  FROM scored
+)
+SELECT qid, and_pos, syn_pos, term, round(pred, 5) AS pred,
+       CAST(rn - 1 AS INT) AS step
+FROM ranked WHERE rn <= 2
+"""
