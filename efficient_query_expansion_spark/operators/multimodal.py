@@ -12,7 +12,6 @@ deterministic stand-in used by tests and the driver entry.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -57,10 +56,13 @@ def decode_media(payload: bytes, media_type: str):
 
 
 def _fake_features(payload: bytes, media_type: str):
-    """Deterministic stand-in features derived only from the bytes."""
+    """Deterministic stand-in features derived only from the bytes —
+    all md5-based so a DuckDB oracle can recompute them exactly
+    (CORRECTNESS gate; crc32 is not portable SQL)."""
     n = len(payload)
-    checksum = zlib.crc32(payload)
-    h = int(hashlib.md5(payload).hexdigest()[:4], 16)
+    digest = hashlib.md5(payload).hexdigest()
+    checksum = int(digest[:8], 16)
+    h = int(digest[8:12], 16)
     width = 16 + h % 1920
     height = 16 + (h >> 4) % 1080
     n_frames = 1 if media_type == "image" else 1 + n % 240
@@ -114,15 +116,14 @@ def sample_frames(
                     if off >= len(b):
                         break
                     chunk = b[off : off + every_n_bytes]
-                    rows.append(
-                        (int(mid), fi, off, zlib.crc32(chunk))
-                    )
+                    fh = int(hashlib.md5(chunk).hexdigest()[:8], 16)
+                    rows.append((int(mid), fi, off, fh))
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "frame_idx", "offset", "frame_crc"],
+                columns=["media_id", "frame_idx", "offset", "frame_hash"],
             )
 
     return media.select("media_id", "payload").mapInPandas(
         run,
-        schema="media_id long, frame_idx int, offset int, frame_crc long",
+        schema="media_id long, frame_idx int, offset int, frame_hash long",
     )

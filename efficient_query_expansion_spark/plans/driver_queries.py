@@ -1160,7 +1160,11 @@ FROM tk t LEFT JOIN minh m ON m.doc_id = t.doc_id
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (rows-only: codec stubbed, no SQL oracle)
+# Multimodal plumbing. The real codec stays stubbed (no image/audio
+# libs in the container), but the deterministic stand-in features are
+# pure md5 functions of the payload bytes — and the synthetic payload
+# is the utf-8 encoding of the ASCII-clean text column — so DuckDB
+# recomputes them exactly and these rows are fully oracle-gated.
 # ---------------------------------------------------------------------------
 
 def q_multimodal_features(spark, sf_dir):
@@ -1175,11 +1179,28 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media)
 
 
-register("multimodal_features", q_multimodal_features, None)
+register(
+    "multimodal_features",
+    q_multimodal_features,
+    """
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS checksum,
+  CAST(16 + CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) % 1920
+       AS INT) AS width,
+  CAST(16 + (CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) // 16)
+       % 1080 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+       ELSE 1 + length(text) % 240 END AS INT) AS n_frames
+FROM documents
+""",
+)
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Frame-sampling plumbing over binary payloads (rows-only)."""
+    """Frame-sampling plumbing over binary payloads."""
     from efficient_query_expansion_spark.operators.multimodal import (
         sample_frames,
         synthesize_media,
@@ -1188,7 +1209,22 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(synthesize_media(_docs(spark, sf_dir)))
 
 
-register("multimodal_frame_sampling", q_multimodal_frames, None)
+register(
+    "multimodal_frame_sampling",
+    q_multimodal_frames,
+    """
+WITH f AS (
+  SELECT doc_id AS media_id, g.i AS frame_idx, g.i * 64 AS off,
+         substr(text, g.i * 64 + 1, 64) AS chunk, length(text) AS n
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS i) g
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(off AS INT) AS offset,
+       CAST(('0x' || substr(md5(chunk), 1, 8)) AS BIGINT) AS frame_hash
+FROM f WHERE off < n
+""",
+)
 
 
 # ---------------------------------------------------------------------------
