@@ -142,6 +142,106 @@ def normalize_aliases_raw_py(
     return aliases
 
 
+_SRC_TAGS_ORDER = ("name", "alias", "redir")
+_AND_REPLACEMENTS = (" ", "", " and ", " n ", "n")
+_rex_parenthesis = re.compile(r"\s*\(.*?\)\s*$")
+
+
+def normalize_aliases_tagged_py(
+    src_tag_to_aliases_raw: dict,
+    ampersand: bool = True,
+    hyphens: bool = True,
+    multiword: bool = True,
+    acronyms: bool = True,
+) -> dict:
+    """Tagged alias-variant expansion — faithful port of reference
+    nb 1.2 cell 2 ``normalize_aliases_raw``: alias → tuple of
+    provenance tags, FIRST assignment wins (src_tag order
+    name→alias→redir, then insertion order).
+
+    Replicated reference details: aliases containing ':' are dropped;
+    paren-stripped raws are postponed and tagged "norm()"; ampersand
+    variants are tagged "norm&<i>"; the multiword pass is gated on
+    the ``hyphens`` flag (reference cell 2 reuses the guard); acronym
+    completion appends "acronym"/"norm." tags. The reference mutates
+    its ordered dict while iterating (a py2 hazard); we iterate
+    snapshots, so variants-of-variants are not expanded — identical
+    output because the reference would raise there anyway.
+    """
+    assert all(k in _SRC_TAGS_ORDER for k in src_tag_to_aliases_raw)
+    aliases: dict[str, tuple] = {}
+    for src_tag in _SRC_TAGS_ORDER:
+        if src_tag_to_aliases_raw.get(src_tag) is None:
+            continue
+        raws = [
+            a for a in src_tag_to_aliases_raw[src_tag] if ":" not in a
+        ]
+        support: dict[str, tuple] = {}
+        postponed = []
+        for alias_raw in raws:
+            stripped = _rex_parenthesis.sub("", alias_raw)
+            if len(stripped) != len(alias_raw):
+                postponed.append(stripped)  # ambiguous alias
+            elif alias_raw not in support:
+                support[alias_raw] = ()
+        for alias_raw in postponed:
+            if alias_raw not in support:
+                support[alias_raw] = ("norm()",)
+
+        if ampersand:
+            for alias_raw, tags in list(support.items()):
+                if "&" in alias_raw:
+                    parts = alias_raw.strip().split("&")
+                    for i, rep in enumerate(_AND_REPLACEMENTS):
+                        new_raw = rep.join(parts)
+                        if new_raw not in support:
+                            support[new_raw] = (f"norm&{i}",) + tags
+
+        for alias_raw, tags in support.items():
+            alias = normalize_text_py(alias_raw)
+            if alias not in aliases:
+                aliases[alias] = (src_tag,) + tags
+        if hyphens:
+            for alias_raw, tags in support.items():
+                alias = normalize_hyphens_py(alias_raw)
+                if alias not in aliases:
+                    aliases[alias] = (src_tag, "norm-") + tags
+        if hyphens:  # reference gates the multiword pass on hyphens
+            for alias_raw, tags in support.items():
+                alias = normalize_multiword_py(alias_raw)
+                if alias not in aliases:
+                    aliases[alias] = (src_tag, "norm|") + tags
+
+    if acronyms:
+        extra: dict[str, tuple] = {}
+        for alias in list(aliases):
+            if " " not in alias:
+                continue
+            initials = [
+                letter
+                for i, letter in enumerate(alias)
+                if i == 0 or (alias[i - 1] == " " and letter != " ")
+            ]
+            if len(initials) <= 1:
+                continue
+            acr = ("".join(initials), " ".join(initials))
+            for a in acr:
+                if a in aliases and (
+                    len(aliases[a]) == 0 or aliases[a][-1] != "acronym"
+                ):
+                    aliases[a] = aliases[a] + ("acronym",)
+            if acr[0] in aliases:
+                if acr[1] not in aliases:
+                    extra[acr[1]] = aliases[acr[0]] + ("norm.",)
+            elif acr[1] in aliases:
+                extra[acr[0]] = aliases[acr[1]] + ("norm.",)
+        aliases.update(extra)
+
+    aliases.pop("", None)
+    assert all("  " not in a for a in aliases)
+    return aliases
+
+
 def acronym_of_py(alias: str) -> str:
     """Collapsed acronym of a normalized multiword alias ("wi fi" -> "wf")."""
     return "".join(w[0] for w in alias.split(" ") if w)

@@ -1554,3 +1554,13 @@ register(
     "selection_pipeline", FQ.q_selection_pipeline,
     FQ.selection_sql(_TOKS_CTE),
 )
+
+
+# ---------------------------------------------------------------------------
+# S2-S4/S8/S9 file-format sources + P6 alias variants
+# ---------------------------------------------------------------------------
+
+from efficient_query_expansion_spark.plans import source_queries as SQ  # noqa: E402
+
+for _name, (_fn, _sql) in SQ.ENTRIES.items():
+    register(_name, _fn, _sql)

@@ -1,0 +1,217 @@
+"""Driver-gate entries for the file-format sources (SURVEY §2.1
+S2-S4, S8, S9) and alias-variant expansion (P6).
+
+Each parser entry renders a fixture file FROM a testdata table
+(documents/part) into a temp directory, parses it back through the
+real reader, and the DuckDB oracle reproduces the expected parse as
+expressions over the same table — gating the full render→parse
+round-trip. S9 and P6 use inline fixtures with hand-frozen golden
+VALUES (derivations hand-checked against reference nb 1.3 cell 18 /
+normalize_text.py:62-133).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from efficient_query_expansion_spark.sources.corpus import read_documents
+from efficient_query_expansion_spark.sources.thesaurus_io import (
+    parse_openoffice_thesaurus,
+    read_alias_tsv,
+    write_alias_tsv,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def q_s2_custom_parse(spark, sf_dir):
+    """S2: documents → custom ``id\\ntitle\\nbody`` block files →
+    parsed back (documents_utils.py:27-67 round-trip)."""
+    rendered = _docs(spark, sf_dir).select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("\n"),
+            F.lit("title "), F.col("doc_id").cast("string"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="eqx_s2_")
+    rendered.write.mode("overwrite").text(tmp)
+    return read_documents(spark, tmp, "custom")
+
+
+S2_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'title ' || CAST(doc_id AS VARCHAR) AS title,
+       text AS content
+FROM documents
+"""
+
+
+def q_s3_wiki_parse(spark, sf_dir):
+    """S3: WikiExtractor ``<doc id= title=>`` block round-trip
+    (documents_utils.py:70-114)."""
+    did = F.col("doc_id").cast("string")
+    rendered = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit('<doc id="'), did,
+            F.lit('" url="https://x/'), did,
+            F.lit('" title="title '), did, F.lit('">'),
+            F.lit("\n"), F.col("text"), F.lit("\n</doc>"),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="eqx_s3_")
+    rendered.write.mode("overwrite").text(tmp)
+    return read_documents(spark, tmp, "wiki")
+
+
+S3_SQL = S2_SQL  # same Doc triple comes back
+
+
+def q_s4_sphinx_parse(spark, sf_dir):
+    """S4: Sphinx XML document stream round-trip
+    (documents_utils.py:117-169) with url/keywords/description."""
+    did = F.col("doc_id").cast("string")
+    rendered = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("<sphinx:document id='"), did, F.lit("'>"),
+            F.lit("<title>title "), did, F.lit("</title>"),
+            F.lit("<content>"), F.col("text"), F.lit("</content>"),
+            F.lit("<url>https://x/"), did, F.lit("</url>"),
+            F.lit("<keywords>kw "), did, F.lit("</keywords>"),
+            F.lit("<description>desc</description>"),
+            F.lit("</sphinx:document>"),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="eqx_s4_")
+    rendered.write.mode("overwrite").text(tmp)
+    return read_documents(spark, tmp, "sphinx")
+
+
+S4_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'title ' || CAST(doc_id AS VARCHAR) AS title,
+       text AS content,
+       'https://x/' || CAST(doc_id AS VARCHAR) AS url,
+       'kw ' || CAST(doc_id AS VARCHAR) AS keywords,
+       'desc' AS description
+FROM documents
+"""
+
+
+def q_s8_alias_tsv(spark, sf_dir):
+    """S8: gzip alias-TSV write → read round-trip over part names."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").cast("string").alias("page_id"),
+        F.col("p_name").alias("title"),
+        F.split("p_name", " ").alias("aliases"),
+    )
+    tmp = os.path.join(tempfile.mkdtemp(prefix="eqx_s8_"), "aliases")
+    write_alias_tsv(part, tmp)
+    back = read_alias_tsv(spark, tmp)
+    return back.select(
+        "page_id", "title", F.array_join("aliases", ",").alias("aliases")
+    )
+
+
+S8_SQL = """
+SELECT CAST(p_partkey AS VARCHAR) AS page_id, p_name AS title,
+       array_to_string(string_split(p_name, ' '), ',') AS aliases
+FROM part
+"""
+
+
+_OO_FIXTURE = """UTF-8
+car|2
+(noun)|auto|automobile
+(noun)|vehicle
+fast|1
+(adj)|quick|rapid
+big|1
+(adj)|large|huge|giant
+"""
+
+
+def q_s9_openoffice(spark, sf_dir):
+    """S9: OpenOffice thesaurus parse (nb 1.3 cell 18) of an inline
+    fixture file vs hand-frozen expected rows."""
+    tmp = tempfile.mkdtemp(prefix="eqx_s9_")
+    with open(os.path.join(tmp, "th.dat"), "w") as f:
+        f.write(_OO_FIXTURE)
+    out = parse_openoffice_thesaurus(spark, tmp)
+    return out.select(
+        "word", "meaning_idx", "pos",
+        F.array_join("synonyms", ",").alias("synonyms"),
+    )
+
+
+S9_SQL = """
+SELECT * FROM (VALUES
+  ('car', 0, 'noun', 'auto,automobile'),
+  ('car', 1, 'noun', 'vehicle'),
+  ('fast', 0, 'adj', 'quick,rapid'),
+  ('big', 0, 'adj', 'large,huge,giant')
+) AS t(word, meaning_idx, pos, synonyms)
+"""
+
+
+_P6_GROUPS = [
+    (0, ["A&B"]),
+    (1, ["Wi-Fi"]),
+    (2, ["PlayStation", "PS"]),
+    (3, ["New York"]),
+]
+
+
+def q_p6_alias_variants(spark, sf_dir):
+    """P6: alias-variant expansion (ampersand / hyphen / CamelCase /
+    acronym completion, reference normalize_text.py:62-133) applied
+    distributed via mapInPandas; golden VALUES oracle (derivation
+    hand-checked against the reference rules)."""
+    import pandas as pd
+
+    from efficient_query_expansion_spark.functions.normalize import (
+        normalize_aliases_raw_py,
+    )
+
+    groups = spark.createDataFrame(
+        [(g, als) for g, als in _P6_GROUPS],
+        "gid int, aliases_raw array<string>",
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for gid, raw in zip(pdf["gid"], pdf["aliases_raw"]):
+                for alias in sorted(normalize_aliases_raw_py(list(raw))):
+                    rows.append((int(gid), alias))
+            yield pd.DataFrame(rows, columns=["gid", "alias"])
+
+    return groups.mapInPandas(run, schema="gid int, alias string")
+
+
+P6_SQL = """
+SELECT * FROM (VALUES
+  (0, 'a and b'), (0, 'a b'), (0, 'a n b'), (0, 'ab'), (0, 'an b'),
+  (0, 'anb'),
+  (1, 'wi fi'), (1, 'wifi'),
+  (2, 'p s'), (2, 'play station'), (2, 'playstation'), (2, 'ps'),
+  (3, 'new york')
+) AS t(gid, alias)
+"""
+
+
+ENTRIES = {
+    "s2_custom_blocks": (q_s2_custom_parse, S2_SQL),
+    "s3_wiki_blocks": (q_s3_wiki_parse, S3_SQL),
+    "s4_sphinx_blocks": (q_s4_sphinx_parse, S4_SQL),
+    "s8_alias_tsv_roundtrip": (q_s8_alias_tsv, S8_SQL),
+    "s9_openoffice_thesaurus": (q_s9_openoffice, S9_SQL),
+    "p6_alias_variants": (q_p6_alias_variants, P6_SQL),
+}

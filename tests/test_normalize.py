@@ -192,3 +192,44 @@ def test_fuzz_hybrid_pipeline_vs_spec(spark):
     # row order preserved for a narrow local frame without shuffle
     want = [normalize_text_py(r) for r in raws]
     assert got == want
+
+
+def test_normalize_aliases_tagged_golden():
+    """Tagged variant expansion (reference nb 1.2 cell 2) — golden
+    vectors hand-derived from the reference's rules: first-wins tag
+    assignment in src-tag order, norm&<i>/norm-/norm|/norm()/acronym/
+    norm. provenance tags."""
+    from efficient_query_expansion_spark.functions.normalize import (
+        normalize_aliases_tagged_py as f,
+    )
+
+    assert f({"name": ["A&B"]}) == {
+        "a b": ("name", "acronym"),
+        "ab": ("name", "norm&1", "acronym"),
+        "a and b": ("name", "norm&2"),
+        "a n b": ("name", "norm&3", "acronym"),
+        "anb": ("name", "norm&4", "acronym"),
+        "an b": ("name", "norm|", "norm&4"),
+    }
+    # parenthesis-stripped raws are postponed and tagged norm();
+    # colon-containing aliases are dropped entirely
+    assert f(
+        {"name": ["New York (state)", "New York"],
+         "redir": ["NYC", "Category:NY"]}
+    ) == {"new york": ("name",), "nyc": ("redir",)}
+    # hyphen join keeps provenance of the pass that produced it
+    assert f({"name": ["Wi-Fi"], "alias": ["wifi", "wireless fidelity"]}) == {
+        "wi fi": ("name",),
+        "wifi": ("name", "norm-"),
+        "wireless fidelity": ("alias",),
+    }
+    # acronym completion: the missing spaced form is added with the
+    # present form's tags + norm.
+    assert f({"name": ["PlayStation"], "alias": ["PS"]}) == {
+        "playstation": ("name",),
+        "play station": ("name", "norm|"),
+        "ps": ("alias", "acronym"),
+        "p s": ("alias", "acronym", "norm."),
+    }
+    # src-tag precedence: name wins over alias for the same alias
+    assert f({"name": ["Car"], "alias": ["car"]}) == {"car": ("name",)}
