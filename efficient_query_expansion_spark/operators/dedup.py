@@ -82,18 +82,9 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    num_hashes: int = 8,
-    band_size: int = 2,
-    id_col: str = "doc_id",
+def _lsh_bands(
+    signatures: DataFrame, num_hashes: int, band_size: int, id_col: str
 ) -> DataFrame:
-    """Docs sharing >= 1 LSH band bucket (canonical a < b pairs).
-
-    Bands are equi-join keys — Spark hash-partitions on
-    (band_id, band_hash), so hot buckets are the only skew source;
-    the downstream exact-verify join keeps false positives cheap.
-    """
     bands = None
     n_bands = num_hashes // band_size
     for b in range(n_bands):
@@ -105,6 +96,58 @@ def lsh_candidate_pairs(
             .alias("band_hash"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+def lsh_hot_buckets(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The dropped-mass report for a capped LSH join: buckets whose
+    membership exceeds ``max_bucket_size`` with their sizes — at
+    corpus scale these are near-always degenerate boilerplate (empty
+    docs, templates) whose s·(s-1)/2 pair blowup would dominate the
+    shuffle. Log/persist this alongside the dedup output."""
+    bands = _lsh_bands(signatures, num_hashes, band_size, id_col)
+    return (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Docs sharing >= 1 LSH band bucket (canonical a < b pairs).
+
+    Bands are equi-join keys — Spark hash-partitions on
+    (band_id, band_hash), so hot buckets are the only skew source.
+    ``max_bucket_size`` caps them: buckets larger than the cap are
+    dropped BEFORE the self-join (a bucket of size s emits s·(s-1)/2
+    pairs — one degenerate bucket of 10^6 empty docs would emit
+    5·10^11 pairs). Use ``lsh_hot_buckets`` with the same parameters
+    to report the dropped mass; the downstream exact-verify join
+    keeps false positives cheap.
+    """
+    bands = _lsh_bands(signatures, num_hashes, band_size, id_col)
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+        )
     a, b_ = bands.alias("a"), bands.alias("b")
     pairs = a.join(
         b_,

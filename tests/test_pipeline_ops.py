@@ -173,3 +173,45 @@ def test_language_id(spark):
         spark.createDataFrame(rows, "doc_id long, text string")))
     langs = {r["doc_id"]: r["lang"] for r in language_id(df).collect()}
     assert langs == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """One degenerate bucket (many identical docs) must not explode
+    the candidate self-join: the cap drops it, the report names it,
+    and genuine near-dup pairs survive."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_hot_buckets,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    rows = [(i, "boiler plate empty template text") for i in range(200)]
+    rows += [
+        (1000, "a genuinely unique document about spark joins and more"),
+        (1001, "a genuinely unique document about spark joins and stuff"),
+        (1002, "completely different content with nothing shared here at"
+               " all whatsoever in any way"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from efficient_query_expansion_spark.operators.tokenize import (
+        with_norm_text,
+        with_tokens,
+    )
+
+    toks = with_tokens(with_norm_text(docs))
+    sig = minhash_signatures(token_shingles(toks, n=3), num_hashes=8)
+
+    capped = lsh_candidate_pairs(sig, max_bucket_size=50)
+    pairs = capped.collect()
+    # without the cap the boilerplate bucket alone emits 19,900 pairs
+    assert len(pairs) < 100
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1000, 1001) in ids  # real near-dups survive the cap
+    assert all(a >= 1000 for a, _ in ids)  # boilerplate dropped
+
+    hot = lsh_hot_buckets(sig, max_bucket_size=50).collect()
+    assert len(hot) >= 1 and all(r["bucket_n"] == 200 for r in hot)
+
+    uncapped = lsh_candidate_pairs(sig)
+    assert uncapped.count() >= 19900
