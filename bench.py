@@ -96,6 +96,28 @@ def run_index_build(spark, timings: dict, replicate=None) -> tuple:
     return index, n_turns, n_turns / dt, n_postings
 
 
+def run_index_build_median(spark, timings: dict, rounds: int) -> tuple:
+    """Median-of-N index build: the host carries external background
+    load (±20% run-to-run), so a single run over- or under-states
+    throughput. Reports the median with the per-round spread; the
+    last round's index serves the query benchmarks."""
+    import statistics
+
+    tputs, secs = [], []
+    index = n_turns = n_postings = None
+    for r in range(rounds):
+        if index is not None:  # free the previous round's cache
+            index["postings"].unpersist()
+            index["doclens"].unpersist()
+        one = {}
+        index, n_turns, tput, n_postings = run_index_build(spark, one)
+        tputs.append(tput)
+        secs.append(one["index_build"])
+    timings["index_build"] = round(statistics.median(secs), 3)
+    timings["index_build_rounds"] = [round(x, 3) for x in secs]
+    return index, n_turns, statistics.median(tputs), n_postings, tputs
+
+
 def run_queries(spark, index, timings: dict) -> None:
     from efficient_query_expansion_spark.operators.bm25 import sharded_topk
     from efficient_query_expansion_spark.operators.cnf import (
@@ -222,7 +244,10 @@ def main() -> None:
 
     spark = get_spark(app_name="eqx-bench", cores=CPUS,
                       shuffle_partitions=CPUS)
-    index, n_turns, tput, n_postings = run_index_build(spark, timings)
+    rounds = int(os.environ.get("SPARK_GRAFT_BUILD_ROUNDS", "3"))
+    index, n_turns, tput, n_postings, tputs = run_index_build_median(
+        spark, timings, rounds
+    )
     run_queries(spark, index, timings)
     run_stats(spark, timings)
     spark.stop()
@@ -231,6 +256,7 @@ def main() -> None:
         {
             "metric": "index_build_turns_per_sec",
             "value": round(tput, 1),
+            "rounds_turns_per_sec": [round(x, 1) for x in tputs],
             "unit": "turns/sec",
             "queries": timings,
             "sf": _sf(),
