@@ -1432,6 +1432,94 @@ register("query_performance_recall", q_query_performance,
          _query_performance_sql())
 
 
+def q_eet_metrics(spark, sf_dir):
+    """F7: recall + EET(step=200, ratio=1) over the QueryPerformance
+    fixture with deterministic exe_time = 70*qid seconds (spans both
+    the step plateau and the exp-decay regime; nb 2.1 cells 7-8)."""
+    from efficient_query_expansion_spark.operators.metrics import eet_col
+
+    perf = q_query_performance(spark, sf_dir)
+    et = (F.col("qid") * 70.0).cast("double")
+    return perf.select(
+        "qid", "recall",
+        et.alias("exe_time"),
+        F.round(eet_col(F.col("recall"), et, 200.0, 1.0), 5).alias("eet"),
+    )
+
+
+register(
+    "f7_eet_metrics",
+    q_eet_metrics,
+    f"""
+WITH perf AS ({_query_performance_sql()}),
+x AS (
+  SELECT qid, recall, CAST(qid * 70.0 AS DOUBLE) AS exe_time,
+         CASE WHEN qid * 70.0 <= 200.0 THEN 1.0
+              ELSE exp(-0.01 * (qid * 70.0 - 200.0)) END AS eff
+  FROM perf
+)
+SELECT qid, recall, exe_time,
+       round(recall * eff /
+             (CASE WHEN 0.5 * eff + 0.5 * recall <> 0
+                   THEN 0.5 * eff + 0.5 * recall ELSE 1.0 END), 5)
+         AS eet
+FROM x
+""",
+)
+
+
+def q_doc_qid_inversion(spark, sf_dir):
+    """J9: qid→docid match lists inverted to docid→sorted qid list
+    (the reference's dict inversion, index_cache.py usage)."""
+    from efficient_query_expansion_spark.operators.cnf import (
+        cnf_match_expr,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TK.normalize_text_col(F.col("text")).alias("nt")
+    )
+    parts = [
+        d.where(cnf_match_expr(F.col("nt"), repr_)).select(
+            F.lit(qid).alias("qid"), "doc_id"
+        )
+        for qid, repr_ in BM25_QUERIES.items()
+    ]
+    matches = parts[0]
+    for p in parts[1:]:
+        matches = matches.unionByName(p)
+    return matches.groupBy("doc_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("qid"))).alias("qids")
+    )
+
+
+def _inversion_sql() -> str:
+    sel = []
+    for qid, repr_ in BM25_QUERIES.items():
+        ors = []
+        for aq in repr_:
+            ands = []
+            for synset in aq:
+                syn = " OR ".join(
+                    f"(' ' || {_NORM} || ' ') LIKE '% {t} %'"
+                    for (t, *_x) in synset
+                )
+                ands.append(f"({syn})")
+            ors.append("(" + " AND ".join(ands) + ")")
+        sel.append(
+            f"SELECT {qid} AS qid, doc_id FROM documents"
+            f" WHERE {' OR '.join(ors)}"
+        )
+    u = " UNION ALL ".join(sel)
+    return f"""
+WITH m AS ({u})
+SELECT doc_id, array_to_string(list_sort(list(qid)), ',') AS qids
+FROM m GROUP BY doc_id
+"""
+
+
+register("j9_doc_qid_inversion", q_doc_qid_inversion, _inversion_sql())
+
+
 # ---------------------------------------------------------------------------
 # F1/F2 — textual featurizer over expansion candidates
 # ---------------------------------------------------------------------------

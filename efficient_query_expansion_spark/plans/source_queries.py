@@ -215,3 +215,37 @@ ENTRIES = {
     "s9_openoffice_thesaurus": (q_s9_openoffice, S9_SQL),
     "p6_alias_variants": (q_p6_alias_variants, P6_SQL),
 }
+
+
+_WIKIDATA_FIXTURE = "\n".join([
+    '{"id":"Q1","labels":{"en":{"value":"new york"}},'
+    '"aliases":{"en":[{"value":"ny"},{"value":"big apple"}]}}',
+    '{"id":"Q2","labels":{"en":{"value":"car"}}}',
+    '{"id":"Q3","labels":{"de":{"value":"auto"}}}',  # no en → filtered
+])
+
+
+def q_s7_wikidata(spark, sf_dir):
+    """S7: Wikidata JSON-lines entity parse (nb 1.1 cell 21) —
+    language-filtered labels/aliases via relational pruning."""
+    from efficient_query_expansion_spark.sources.thesaurus_io import (
+        read_wikidata_aliases,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="eqx_s7_")
+    with open(os.path.join(tmp, "wd.json"), "w") as f:
+        f.write(_WIKIDATA_FIXTURE)
+    out = read_wikidata_aliases(spark, tmp)
+    return out.select(
+        "entity_id", "label", F.array_join("aliases", ",").alias("aliases")
+    )
+
+
+S7_SQL = """
+SELECT * FROM (VALUES
+  ('Q1', 'new york', 'ny,big apple'),
+  ('Q2', 'car', '')
+) AS t(entity_id, label, aliases)
+"""
+
+ENTRIES["s7_wikidata_aliases"] = (q_s7_wikidata, S7_SQL)

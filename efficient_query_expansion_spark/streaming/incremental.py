@@ -34,6 +34,53 @@ TRANSCRIPT_SCHEMA = (
 )
 
 
+def merge_stats_batch(
+    batch_df: DataFrame, state_path: str, epoch_id: int
+) -> bool:
+    """One micro-batch merge: partial term stats (A1/A2) → A6 merge
+    with the persisted table → atomic write-then-swap. Returns False
+    (no-op) when this epoch was already applied.
+
+    The applied-epoch ledger lives INSIDE the swapped state dir
+    (underscore prefix → invisible to parquet readers), so the
+    "merge applied" fact commits atomically with the data: if the
+    streaming checkpoint commit fails after our swap, the redelivered
+    micro-batch is recognized and skipped instead of double-counted.
+    """
+    import json
+    import os
+    import shutil
+
+    ledger = os.path.join(state_path, "_applied_epochs.json")
+    applied: list[int] = []
+    if os.path.exists(ledger):
+        with open(ledger) as f:
+            applied = json.load(f)
+    if int(epoch_id) in applied:
+        return False  # redelivery after a checkpoint-commit failure
+
+    part = term_stats(
+        token_positions(with_tokens(with_norm_text(batch_df)))
+    )
+    # narrow missing-state check: real read errors must propagate,
+    # not silently reset the accumulated stats
+    if os.path.exists(state_path):
+        prev = batch_df.sparkSession.read.parquet(state_path)
+        merged = merge_term_stats(prev, part)
+    else:
+        merged = part
+    # write-then-swap for atomicity on plain files (an Iceberg
+    # catalog would make this a snapshot commit)
+    tmp = state_path + f".epoch{epoch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_applied_epochs.json"), "w") as f:
+        json.dump(applied + [int(epoch_id)], f)
+    if os.path.exists(state_path):
+        shutil.rmtree(state_path)
+    os.rename(tmp, state_path)
+    return True
+
+
 def incremental_term_stats(
     spark: SparkSession,
     input_path: str,
@@ -52,43 +99,7 @@ def incremental_term_stats(
     )
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        import json
-        import os
-        import shutil
-
-        # applied-epoch ledger lives INSIDE the swapped state dir
-        # (underscore prefix → invisible to parquet readers), so the
-        # "merge applied" fact commits atomically with the data: if
-        # the streaming checkpoint commit fails after our swap, the
-        # redelivered micro-batch is recognized and skipped instead of
-        # double-counted.
-        ledger = os.path.join(state_path, "_applied_epochs.json")
-        applied: list[int] = []
-        if os.path.exists(ledger):
-            with open(ledger) as f:
-                applied = json.load(f)
-        if int(epoch_id) in applied:
-            return  # redelivery after a checkpoint-commit failure
-
-        part = term_stats(
-            token_positions(with_tokens(with_norm_text(batch_df)))
-        )
-        # narrow missing-state check: real read errors must propagate,
-        # not silently reset the accumulated stats
-        if os.path.exists(state_path):
-            prev = batch_df.sparkSession.read.parquet(state_path)
-            merged = merge_term_stats(prev, part)
-        else:
-            merged = part
-        # write-then-swap for atomicity on plain files (an Iceberg
-        # catalog would make this a snapshot commit)
-        tmp = state_path + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_applied_epochs.json"), "w") as f:
-            json.dump(applied + [int(epoch_id)], f)
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        os.rename(tmp, state_path)
+        merge_stats_batch(batch_df, state_path, epoch_id)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -300,3 +300,17 @@ def test_sigir08_extended_parity(spark, ctx):
         for qid in CBASE
     }
     _check(got, EXT_NAMES, oracles)
+
+
+def test_textual_parity_multi_term_ordered(spark, ctx):
+    """ADVICE round-1 item: the base synset's STORED order (term_pos)
+    drives the reference's order-sensitive tie-breaking; CBASE's
+    first synset is [car, auto] — alphabetical order would differ."""
+    from tests.feature_oracle import textual_oracle
+
+    base, cand = _long_dfs_ordered(spark)
+    got = textual_features(cand, base).collect()
+    oracles = {
+        qid: textual_oracle(CBASE[qid], CCAND[qid]) for qid in CBASE
+    }
+    _check(got, TEXTUAL_NAMES, oracles)

@@ -151,3 +151,34 @@ def test_windowed_turn_rates_stream(spark, tmp_path):
     rows = spark.sql("SELECT * FROM rates_out").collect()
     assert sum(r["n_turns"] for r in rows) == t.count()
     assert {r["role"] for r in rows} == {"user", "assistant", "tool"}
+
+
+def test_merge_stats_batch_epoch_idempotent(spark, tmp_path):
+    """Redelivered micro-batches (same epoch_id) must not double-count
+    — the applied-epoch ledger swaps atomically with the state."""
+    from efficient_query_expansion_spark.fixtures import spark_transcripts
+    from efficient_query_expansion_spark.streaming.incremental import (
+        merge_stats_batch,
+    )
+
+    t = spark_transcripts(spark, n_convs=6)
+    state = str(tmp_path / "state")
+    assert merge_stats_batch(t, state, epoch_id=0) is True
+    once = {
+        r["term"]: (r["df"], r["tf"]) for r in
+        spark.read.parquet(state).collect()
+    }
+    # redelivery of epoch 0: skipped, state unchanged
+    assert merge_stats_batch(t, state, epoch_id=0) is False
+    again = {
+        r["term"]: (r["df"], r["tf"]) for r in
+        spark.read.parquet(state).collect()
+    }
+    assert once == again
+    # a genuinely new epoch applies additively
+    assert merge_stats_batch(t, state, epoch_id=1) is True
+    doubled = {
+        r["term"]: (r["df"], r["tf"]) for r in
+        spark.read.parquet(state).collect()
+    }
+    assert doubled == {k: (d * 2, f * 2) for k, (d, f) in once.items()}
