@@ -249,3 +249,31 @@ SELECT * FROM (VALUES
 """
 
 ENTRIES["s7_wikidata_aliases"] = (q_s7_wikidata, S7_SQL)
+
+
+_P7_TITLES = [
+    "new york", "Category:Cities", "Template:Infobox", "File:Map.png",
+    "apple", "Wikipedia:About", "Talk:apple", "List of lakes",
+    "a:b c", "MediaWiki:Sidebar",
+]
+
+
+def q_p7_namespace_filter(spark, sf_dir):
+    """P7: drop titles in auxiliary namespaces (``Prefix:`` pages,
+    reference nb 1.1 title filter) — keep main-namespace pages."""
+    df = spark.createDataFrame(
+        [(t,) for t in _P7_TITLES], "title string"
+    )
+    return df.where(~F.col("title").rlike("^[A-Za-z]+:"))
+
+
+P7_SQL = """
+SELECT title FROM (VALUES
+  ('new york'), ('Category:Cities'), ('Template:Infobox'),
+  ('File:Map.png'), ('apple'), ('Wikipedia:About'), ('Talk:apple'),
+  ('List of lakes'), ('a:b c'), ('MediaWiki:Sidebar')
+) AS t(title)
+WHERE NOT regexp_matches(title, '^[A-Za-z]+:')
+"""
+
+ENTRIES["p7_namespace_filter"] = (q_p7_namespace_filter, P7_SQL)
