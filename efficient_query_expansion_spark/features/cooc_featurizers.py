@@ -148,8 +148,15 @@ def _pair_best_per_other_synset(
         .where(F.col("o") != F.col("syn_pos"))
         .withColumn("t1", F.least("term", "b_term"))
         .withColumn("t2", F.greatest("term", "b_term"))
-        .join(ps, ["t1", "t2"], "left")
-        .fillna(0.0, ["pfreq", "pgap"])
+    )
+    # P13 pushdown: the pair-stats table is corpus-scale while the
+    # needed keys are candidate-set-scale — semi-join it down on a
+    # broadcast key set, then broadcast the (now tiny) lookup side of
+    # the left join. No shuffle of the big table, one filtered scan.
+    keys = ro.select("t1", "t2").distinct()
+    ps_small = ps.join(F.broadcast(keys), ["t1", "t2"], "left_semi")
+    ro = ro.join(F.broadcast(ps_small), ["t1", "t2"], "left").fillna(
+        0.0, ["pfreq", "pgap"]
     )
     return ro.groupBy(*RKEY, "o").agg(
         F.max_by(
@@ -199,8 +206,12 @@ def _triple_best_per_synset_pair(
         .withColumn("k1", key3[0])
         .withColumn("k2", key3[1])
         .withColumn("k3", key3[2])
-        .join(tr, ["k1", "k2", "k3"], "left")
-        .fillna(0.0, ["tfreq", "tgap"])
+    )
+    # same P13 pushdown for the (even bigger) triple-stats table
+    keys = rt.select("k1", "k2", "k3").distinct()
+    tr_small = tr.join(F.broadcast(keys), ["k1", "k2", "k3"], "left_semi")
+    rt = rt.join(F.broadcast(tr_small), ["k1", "k2", "k3"], "left").fillna(
+        0.0, ["tfreq", "tgap"]
     )
     return rt.groupBy(*RKEY, "o1", "o2").agg(
         F.max_by(
@@ -217,12 +228,22 @@ def _triple_best_per_synset_pair(
     )
 
 
-def _ts2(term_stats: DataFrame) -> DataFrame:
-    return term_stats.select(
+def _ts2(term_stats: DataFrame, refs: DataFrame | None = None) -> DataFrame:
+    """tf/df lookup columns; when ``refs`` is given the corpus-scale
+    stats table is first semi-joined down to the candidate-set term
+    vocabulary (broadcast key set) so the later left joins broadcast
+    a tiny table instead of shuffling the big one."""
+    ts = term_stats.select(
         "term",
         F.col("tf").cast("double").alias("s_tf"),
         F.col("df").cast("double").alias("s_df"),
     )
+    if refs is not None:
+        terms = refs.select("term").distinct()
+        ts = F.broadcast(
+            ts.join(F.broadcast(terms), "term", "left_semi")
+        )
+    return ts
 
 
 def _nz(col, val=None):
@@ -253,7 +274,7 @@ def custom_features(
     compare doubles against a DuckDB oracle)."""
     base_long = _with_term_pos(base_long)
     refs = _refs(base_long, cand_long)
-    ts = _ts2(term_stats)
+    ts = _ts2(term_stats, refs)
 
     # ----- per-reference co-occurrence aggregates -----
     g1 = _pair_best_per_other_synset(refs, base_long, pair_stats)
@@ -614,7 +635,7 @@ def sigir08_extended_features(
     """(qid, and_pos, syn_pos, term) + the 42 EXT_NAMES columns."""
     base_long = _with_term_pos(base_long)
     refs = _refs(base_long, cand_long)
-    ts = _ts2(term_stats)
+    ts = _ts2(term_stats, refs)
 
     g1 = _pair_best_per_other_synset(refs, base_long, pair_stats)
     g1 = g1.withColumn("w", F.col("bfreq") * F.col("bgap"))
