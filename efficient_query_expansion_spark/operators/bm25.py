@@ -216,22 +216,14 @@ def sharded_topk(
         "doc_gaps", "tfs", "block_max_part",
     )
 
-    # synset union-df. Singleton synsets read df straight off the
-    # dictionary; only multi-term synsets need the per-shard union
-    # pass over posting rows (shards partition doc space, so the
-    # union-df sums across shards).
-    singles = {k for k, terms in syn_terms.items() if len(terms) == 1}
+    # synset union-df in ONE job for all synsets: per (synset, shard)
+    # the union of posting doc-ordinals (a singleton group is just the
+    # row's own count — no decode); shards partition doc space, so the
+    # union-df sums across shards. (Routing singletons through the
+    # same job replaced a second driver collect of dictionary dfs —
+    # per-query latency here is fixed job overhead, not data.)
     df_s_map: dict = {}
-    dict_rows = qterms.select(
-        "qid", "and_pos", "syn_pos", "df"
-    ).collect()
-    multi_keys = []
-    for r in dict_rows:
-        key = (r["qid"], r["and_pos"], r["syn_pos"])
-        if key in singles:
-            df_s_map[key] = int(r["df"])
-        else:
-            multi_keys.append(key)
+    multi_keys = list(syn_terms.keys())
     if multi_keys:
         def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
             out = []
