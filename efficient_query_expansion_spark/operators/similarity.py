@@ -160,3 +160,54 @@ def ivf_assign(
             "cid"
         )
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose coarse list is
+    among the query's ``n_probe`` nearest centroids.
+
+    The 100-TB shape: ``ivf_assign`` is one broadcast-centroid pass
+    over the corpus (materialize + repartition by cid in practice);
+    probe-time work is |queries| x n_probe lists instead of the full
+    corpus. Recall/latency trades via n_probe, exactly like a
+    disk-based IVF index.
+    """
+    assign = ivf_assign(embeddings, centroids, id_col, vec_col,
+                        cid_col, cvec_col)
+    qj = queries.crossJoin(F.broadcast(centroids))
+    qscore = qj.select(
+        "qid", F.col(cid_col),
+        cosine_expr(F.col("qvec"), F.col(cvec_col)).alias("ccos"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("ccos"), F.asc(cid_col)
+    )
+    probes = (
+        qscore.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select("qid", cid_col)
+    )
+    cand = (
+        embeddings.join(assign, id_col)
+        .join(F.broadcast(probes), cid_col)
+        .join(F.broadcast(queries), "qid")
+    )
+    scored = cand.select(
+        "qid", F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -1520,6 +1520,101 @@ FROM m GROUP BY doc_id
 register("j9_doc_qid_inversion", q_doc_qid_inversion, _inversion_sql())
 
 
+def q_sim_ivf(spark, sf_dir):
+    """IVF ANN (assign to nearest of 4 centroids, probe top-2 lists,
+    exact cosine rank within) — the brute-force entry's scale path."""
+    from efficient_query_expansion_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    centroids = emb.where(F.col("vec_id").isin(3, 4, 5, 6)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    base = emb.where(~F.col("vec_id").isin(0, 1, 2, 3, 4, 5, 6))
+    out = ivf_topk(base, queries, centroids, k=10, n_probe=2)
+    return out.select(
+        "qid", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+register(
+    "sim_ivf_topk",
+    q_sim_ivf,
+    """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id IN (3, 4, 5, 6)),
+base AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id NOT IN (0, 1, 2, 3, 4, 5, 6)),
+a_elems AS (
+  SELECT b.vec_id, c.cid,
+         CAST(unnest(b.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.cvec) AS DOUBLE) AS y
+  FROM base b, c
+),
+a_cos AS (
+  SELECT vec_id, cid,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+  FROM a_elems GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM a_cos
+  ) WHERE rn = 1
+),
+p_elems AS (
+  SELECT q.qid, c.cid,
+         CAST(unnest(q.qvec) AS DOUBLE) AS x,
+         CAST(unnest(c.cvec) AS DOUBLE) AS y
+  FROM q, c
+),
+p_cos AS (
+  SELECT qid, cid,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+  FROM p_elems GROUP BY 1, 2
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (
+      PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+    FROM p_cos
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.qid, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
+),
+s_elems AS (
+  SELECT cd.qid, cd.vec_id,
+         CAST(unnest(b.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qvec) AS DOUBLE) AS y
+  FROM cand cd
+  JOIN base b ON b.vec_id = cd.vec_id
+  JOIN q ON q.qid = cd.qid
+),
+s_cos AS (
+  SELECT qid, vec_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+  FROM s_elems GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, vec_id, cosine, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s_cos
+)
+SELECT qid, vec_id, CAST(rank AS INT) AS rank,
+       round(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 10
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # F1/F2 — textual featurizer over expansion candidates
 # ---------------------------------------------------------------------------
