@@ -223,3 +223,40 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    hyperplanes: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup detection, LSH-bucketed: candidate
+    pairs share a sign-LSH bucket (linear in corpus size — never
+    all-pairs), then exact cosine verification keeps pairs at or
+    above ``threshold``. Output: (id_a < id_b, cosine).
+
+    At 100 TB: one broadcast-hyperplane pass assigns buckets, the
+    self-join shuffles on the bucket key only; combine with
+    ``lsh_hot_buckets``-style capping if a degenerate embedding value
+    dominates.
+    """
+    from efficient_query_expansion_spark.operators.similarity import (
+        cosine_expr,
+        sign_lsh_buckets,
+    )
+
+    b = sign_lsh_buckets(embeddings, hyperplanes, id_col, vec_col)
+    a = embeddings.join(b, id_col)
+    left = a.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    right = a.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    pairs = left.join(right, "bucket").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+    )
+    return scored.where(F.col("cosine") >= F.lit(float(threshold)))

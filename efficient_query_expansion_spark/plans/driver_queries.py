@@ -1520,6 +1520,96 @@ FROM m GROUP BY doc_id
 register("j9_doc_qid_inversion", q_doc_qid_inversion, _inversion_sql())
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup (LSH buckets + exact verify). The
+    synthetic embeddings have no natural near-dups (max pairwise
+    cosine ~0.51), so 10 perturbed duplicates (v*1.01 + 0.001) are
+    planted deterministically on both sides."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.01) + F.lit(0.001)
+        ).alias("embedding"),
+    )
+    all_ = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(dup)
+    planes = emb.where(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").alias("hid"), F.col("embedding").alias("hvec")
+    )
+    out = embedding_near_duplicates(all_, planes, threshold=0.98)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+register(
+    "dedup_embedding_cosine",
+    q_dedup_embedding,
+    """
+WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+dup AS (
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * 1.01 + 0.001)
+           AS embedding
+  FROM e0 WHERE vec_id < 10
+),
+alle AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM e0
+  UNION ALL SELECT * FROM dup
+),
+h AS (SELECT vec_id AS hid, embedding AS hvec FROM e0
+      WHERE vec_id IN (1, 2, 3, 4)),
+bits_el AS (
+  SELECT a.vec_id, h.hid,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         CAST(unnest(h.hvec) AS DOUBLE) AS y
+  FROM alle a, h
+),
+bits AS (
+  SELECT vec_id, hid,
+         CASE WHEN sum(x * y) > 0 THEN '1' ELSE '0' END AS bit
+  FROM bits_el GROUP BY 1, 2
+),
+bucket AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY hid) AS bucket
+  FROM bits GROUP BY 1
+),
+cand AS (
+  SELECT l.vec_id AS ia, r.vec_id AS ib
+  FROM bucket l JOIN bucket r
+    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+el AS (
+  SELECT c.ia, c.ib,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM cand c
+  JOIN alle a ON a.vec_id = c.ia
+  JOIN alle b ON b.vec_id = c.ib
+),
+cos AS (
+  SELECT ia, ib,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+  FROM el GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b, round(cosine, 4) AS cosine
+FROM cos WHERE cosine >= 0.98
+""",
+)
+
+
 def q_sim_ivf(spark, sf_dir):
     """IVF ANN (assign to nearest of 4 centroids, probe top-2 lists,
     exact cosine rank within) — the brute-force entry's scale path."""
