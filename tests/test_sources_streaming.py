@@ -182,3 +182,54 @@ def test_merge_stats_batch_epoch_idempotent(spark, tmp_path):
         spark.read.parquet(state).collect()
     }
     assert doubled == {k: (d * 2, f * 2) for k, (d, f) in once.items()}
+
+
+def test_stateful_conversation_stats(spark, tmp_path):
+    """applyInPandasWithState keyed state survives a query restart
+    from the checkpoint: the second drop ACCUMULATES per-conversation
+    counts instead of resetting them."""
+    from pyspark.sql import functions as F
+
+    from efficient_query_expansion_spark.fixtures import spark_transcripts
+    from efficient_query_expansion_spark.streaming.stateful import (
+        conversation_state_stats,
+        latest_conversation_state,
+    )
+
+    t = spark_transcripts(spark, n_convs=8)
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    half1 = t.where(F.col("turn_idx") % 2 == 0)
+    half2 = t.where(F.col("turn_idx") % 2 == 1)
+    half1.write.parquet(inp + "/drop1.parquet")
+
+    q = conversation_state_stats(spark, inp + "/*", ckpt, out)
+    q.awaitTermination(120)
+    got1 = {
+        r["conv_id"]: r["n_turns"]
+        for r in latest_conversation_state(spark, out).collect()
+    }
+    want1 = {
+        r["conv_id"]: r["n"]
+        for r in half1.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got1 == want1
+
+    # second drop, same checkpoint -> state restored and accumulated
+    half2.write.parquet(inp + "/drop2.parquet")
+    q2 = conversation_state_stats(spark, inp + "/*", ckpt, out)
+    q2.awaitTermination(120)
+    got2 = {
+        r["conv_id"]: (r["n_turns"], r["n_chars"])
+        for r in latest_conversation_state(spark, out).collect()
+    }
+    want2 = {
+        r["conv_id"]: (r["n"], r["c"])
+        for r in t.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("c"),
+        ).collect()
+    }
+    assert got2 == want2
