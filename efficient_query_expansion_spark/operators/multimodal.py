@@ -5,7 +5,7 @@ metadata struct. The Spark-side machinery — schema, Arrow batch
 shapes, ``mapInPandas`` UDF signatures, partitioning by media type —
 is real and tested; the actual codec step is STUBBED (the container
 has no image/audio libraries): ``decode_media`` raises
-``NotImplementedError`` and ``fake_decode_features`` provides the
+``NotImplementedError`` and ``_fake_features`` provides the
 deterministic stand-in used by tests and the driver entry.
 """
 
@@ -51,7 +51,7 @@ def decode_media(payload: bytes, media_type: str):
     cluster image that ships the codec libraries."""
     raise NotImplementedError(
         "media decoding requires codec libraries not present in this"
-        " environment; use fake_decode_features for plumbing tests"
+        " environment; use the _fake_features stand-in for plumbing tests"
     )
 
 
