@@ -314,3 +314,92 @@ def test_textual_parity_multi_term_ordered(spark, ctx):
         qid: textual_oracle(CBASE[qid], CCAND[qid]) for qid in CBASE
     }
     _check(got, TEXTUAL_NAMES, oracles)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cooc_featurizers_structural_fuzz(spark, ctx, seed):
+    """Random CNF shapes (sz 1-4, synsets of 1-3 corpus terms,
+    0-3 candidates incl. corpus-absent ones) must match the Python
+    oracle ports bit-for-bit (1e-6 float32 tolerance)."""
+    import random
+
+    from efficient_query_expansion_spark.features.cooc_featurizers import (
+        CUSTOM_NAMES,
+        EXT_NAMES,
+        custom_features,
+        sigir08_extended_features,
+    )
+    from tests.feature_oracle import custom_oracle, sigir08_extended_oracle
+
+    rng = random.Random(seed)
+    present = sorted(
+        t for t, v in ctx["o_term"].items() if v[0] > 0 and len(t) > 2
+    )
+    cand_vocab = present + ["zzzunseen", "qqqmissing"]
+
+    base_repr, cand_repr = {}, {}
+    for qid in range(3):
+        sz = rng.randint(1, 4)
+        baq, caq = [], []
+        for _s in range(sz):
+            n_base = rng.randint(1, 3)
+            baq.append([(w,) for w in rng.sample(present, n_base)])
+            n_cand = rng.randint(0, 3)
+            caq.append(
+                [(rng.choice(cand_vocab),) for _ in range(n_cand)]
+            )
+            # dedupe candidate terms within the synset (keys collide)
+            seen, dedup = set(), []
+            for t in caq[-1]:
+                if t[0] not in seen:
+                    seen.add(t[0])
+                    dedup.append(t)
+            caq[-1] = dedup
+        base_repr[qid] = [baq]
+        cand_repr[qid] = [caq]
+
+    base_rows, cand_rows = [], []
+    for qid in base_repr:
+        for a, aq in enumerate(base_repr[qid]):
+            for s, synset in enumerate(aq):
+                for tp, t in enumerate(synset):
+                    base_rows.append((qid, a, s, tp, t[0]))
+        for a, aq in enumerate(cand_repr[qid]):
+            for s, synset in enumerate(aq):
+                for t in synset:
+                    cand_rows.append((qid, a, s, t[0]))
+    if not cand_rows:
+        pytest.skip("degenerate draw: no candidates anywhere")
+    base = spark.createDataFrame(
+        base_rows,
+        "qid int, and_pos int, syn_pos int, term_pos int, term string",
+    )
+    cand = spark.createDataFrame(
+        cand_rows, "qid int, and_pos int, syn_pos int, term string"
+    )
+
+    got_c = custom_features(
+        cand, base, ctx["ts"], ctx["ps"], ctx["tr"]
+    ).collect()
+    tr3 = {k: (v, 0) for k, v in ctx["o_triple"].items()}
+    oracles_c = {
+        qid: custom_oracle(
+            base_repr[qid], cand_repr[qid], ctx["o_term"], ctx["o_pair"],
+            tr3,
+        )
+        for qid in base_repr
+    }
+    assert len(got_c) == len(cand_rows)
+    _check(got_c, CUSTOM_NAMES, oracles_c)
+
+    got_e = sigir08_extended_features(
+        cand, base, ctx["ts"], ctx["ps"], ctx["tr"]
+    ).collect()
+    oracles_e = {
+        qid: sigir08_extended_oracle(
+            base_repr[qid], cand_repr[qid], ctx["o_term"], ctx["o_pair"],
+            ctx["o_triple_fg"],
+        )
+        for qid in base_repr
+    }
+    _check(got_e, EXT_NAMES, oracles_e)
