@@ -73,6 +73,49 @@ class GBDTModel:
             y += self.eta * self._predict_tree(nodes, X)
         return y
 
+    def save(self, path: str) -> None:
+        """JSON model dump (the reference pickles/`save_model`s its
+        boosters the same driver-side way, nb 2.1 cell 48)."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "eta": self.eta,
+                    "base_score": self.base_score,
+                    "feature_names": list(self.feature_names),
+                    "trees": [
+                        [
+                            [n.feature, n.threshold, n.left, n.right,
+                             n.value]
+                            for n in tree
+                        ]
+                        for tree in self.trees
+                    ],
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "GBDTModel":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            trees=[
+                [
+                    _Node(feature=f_, threshold=t, left=l, right=r,
+                          value=v)
+                    for (f_, t, l, r, v) in tree
+                ]
+                for tree in d["trees"]
+            ],
+            eta=d["eta"],
+            base_score=d["base_score"],
+            feature_names=tuple(d["feature_names"]),
+        )
+
 
 def _fit_tree(
     X: np.ndarray,

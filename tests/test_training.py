@@ -143,3 +143,15 @@ def test_greedy_select_checkpoint_bounds_plan(spark):
     assert plan_lines(sel) <= plan_lines(sel16) + 50, (
         plan_lines(sel), plan_lines(sel16)
     )
+
+
+def test_gbdt_save_load_roundtrip(tmp_path):
+    rng = np.random.RandomState(3)
+    X = rng.rand(80, 3)
+    y = (X[:, 0] * X[:, 1] > 0.25).astype(float)
+    m = fit_gbdt(X, y, num_rounds=12)
+    p = str(tmp_path / "model.json")
+    m.save(p)
+    m2 = GBDTModel.load(p)
+    assert m2.feature_names == m.feature_names
+    assert np.array_equal(m.predict(X), m2.predict(X))
