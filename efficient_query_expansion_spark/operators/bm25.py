@@ -184,28 +184,15 @@ def sharded_topk(
         meta = index["meta"].collect()[0]
         num_docs, avg_len = int(meta["num_docs"]), float(meta["avg_doc_len"])
 
-    # query sets are small by construction — the synset shapes come
-    # either from the caller's repr dict (no Spark job at all) or one
-    # tiny collect
-    if qreprs is not None:
-        qrows = [
-            {"qid": int(qid), "and_pos": a, "syn_pos": s, "term": t[0]}
-            for qid, repr_ in qreprs.items()
-            for a, aq in enumerate(repr_)
-            for s, synset in enumerate(aq)
-            for t in synset
-        ]
-    else:
-        qrows = queries_long.select(
-            "qid", "and_pos", "syn_pos", "term"
-        ).collect()
-    n_syn_map: dict = {}
-    syn_terms: dict = {}
-    for r in qrows:
-        key = (r["qid"], r["and_pos"], r["syn_pos"])
-        syn_terms.setdefault(key, set()).add(r["term"])
-    for qid, a, s in syn_terms:
-        n_syn_map[(qid, a)] = max(n_syn_map.get((qid, a), 0), s + 1)
+    # the query's synset-count column comes from the query frame
+    # itself (BEFORE the dictionary join — a synset whose terms are
+    # all out-of-vocabulary still counts toward the CNF arity)
+    n_syn_df = (
+        queries_long.select("qid", "and_pos", "syn_pos")
+        .distinct()
+        .groupBy("qid", "and_pos")
+        .agg((F.max("syn_pos") + 1).cast("int").alias("n_syn"))
+    )
 
     qterms = F.broadcast(queries_long).join(
         index["dictionary"].select("term", "term_id", "df"), "term"
@@ -216,60 +203,62 @@ def sharded_topk(
         "doc_gaps", "tfs", "block_max_part",
     )
 
-    # synset union-df in ONE job for all synsets: per (synset, shard)
-    # the union of posting doc-ordinals (a singleton group is just the
-    # row's own count — no decode); shards partition doc space, so the
-    # union-df sums across shards. (Routing singletons through the
-    # same job replaced a second driver collect of dictionary dfs —
-    # per-query latency here is fixed job overhead, not data.)
-    df_s_map: dict = {}
-    multi_keys = list(syn_terms.keys())
-    if multi_keys:
-        def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for (qid, a, s, shard), g in pdf.groupby(
-                ["qid", "and_pos", "syn_pos", "shard"]
-            ):
-                if len(g) == 1:
-                    cnt = int(g["n"].iloc[0])
-                else:
-                    arrs = [
-                        delta_decode(varbyte_decode(bytes(x)))
-                        for x in g["doc_gaps"]
-                    ]
-                    cnt = int(len(np.unique(np.concatenate(arrs))))
-                out.append((qid, a, s, cnt))
-            return pd.DataFrame(
-                out, columns=["qid", "and_pos", "syn_pos", "df_part"]
-            )
+    # synset union-df per (synset, shard): the union of posting
+    # doc-ordinals (a singleton group is just the row's own count —
+    # no decode); shards partition doc space, so the union-df sums
+    # across shards. The result JOINS BACK as a column instead of
+    # being collected into driver dicts — no per-query-batch driver
+    # state (scales to arbitrarily large query batches) and the whole
+    # evaluation is ONE Spark job.
+    def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (qid, a, s, shard), g in pdf.groupby(
+            ["qid", "and_pos", "syn_pos", "shard"]
+        ):
+            if len(g) == 1:
+                cnt = int(g["n"].iloc[0])
+            else:
+                arrs = [
+                    delta_decode(varbyte_decode(bytes(x)))
+                    for x in g["doc_gaps"]
+                ]
+                cnt = int(len(np.unique(np.concatenate(arrs))))
+            out.append((qid, a, s, cnt))
+        return pd.DataFrame(
+            out, columns=["qid", "and_pos", "syn_pos", "df_part"]
+        )
 
-        mk = spark.createDataFrame(
-            list(set(multi_keys)), "qid int, and_pos int, syn_pos int"
+    syn_df = (
+        qpost.select("qid", "and_pos", "syn_pos", "shard", "n", "doc_gaps")
+        .groupBy("qid", "and_pos", "syn_pos", "shard")
+        .applyInPandas(
+            lambda _k, pdf: union_df(pdf),
+            schema="qid int, and_pos int, syn_pos int, df_part long",
         )
-        syn_df = (
-            qpost.join(
-                F.broadcast(mk), ["qid", "and_pos", "syn_pos"], "left_semi"
-            )
-            .groupBy("qid", "and_pos", "syn_pos", "shard")
-            .applyInPandas(
-                lambda _k, pdf: union_df(pdf),
-                schema="qid int, and_pos int, syn_pos int, df_part long",
-            )
-            .groupBy("qid", "and_pos", "syn_pos")
-            .agg(F.sum("df_part").alias("df_s"))
-        )
-        for r in syn_df.collect():
-            df_s_map[(r["qid"], r["and_pos"], r["syn_pos"])] = int(
-                r["df_s"]
-            )
-    bc = spark.sparkContext.broadcast(
-        (df_s_map, n_syn_map, num_docs, avg_len, k)
+        .groupBy("qid", "and_pos", "syn_pos")
+        .agg(F.sum("df_part").alias("df_s"))
     )
 
-    with_lens = qpost.join(index["doclens"], "shard")
+    bc = spark.sparkContext.broadcast((num_docs, avg_len, k))
+
+    with_lens = (
+        qpost.join(F.broadcast(syn_df), ["qid", "and_pos", "syn_pos"])
+        .join(F.broadcast(n_syn_df), ["qid", "and_pos"])
+        .join(index["doclens"], "shard")
+    )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        df_s_map, n_syn_map, num_docs, avg_len, k = bc.value
+        num_docs, avg_len, k = bc.value
+        df_s_map = {
+            (int(r.and_pos), int(r.syn_pos)): int(r.df_s)
+            for r in pdf[["and_pos", "syn_pos", "df_s"]]
+            .drop_duplicates()
+            .itertuples()
+        }
+        n_syn_map = {
+            int(r.and_pos): int(r.n_syn)
+            for r in pdf[["and_pos", "n_syn"]].drop_duplicates().itertuples()
+        }
         qid = int(pdf["qid"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
         ords = delta_decode(varbyte_decode(bytes(pdf["ords"].iloc[0])))
@@ -281,7 +270,7 @@ def sharded_topk(
         # block-max admissible skip
         groups = list(pdf.groupby("and_pos"))
         for and_pos, g in groups:
-            n_syn = n_syn_map[(qid, int(and_pos))]
+            n_syn = n_syn_map[int(and_pos)]
             syn_groups = list(g.groupby("syn_pos"))
             if len(syn_groups) < n_syn:
                 continue  # some synset has no postings anywhere/here
@@ -290,7 +279,7 @@ def sharded_topk(
                 kth = sorted(best.values(), reverse=True)[k - 1]
                 ub = 0.0
                 for syn_pos, sg in syn_groups:
-                    dfs = df_s_map[(qid, int(and_pos), int(syn_pos))]
+                    dfs = df_s_map[(int(and_pos), int(syn_pos))]
                     ub += idf_py(dfs, num_docs) * max(
                         float(max(bm)) for bm in sg["block_max_part"]
                     )
@@ -316,7 +305,7 @@ def sharded_topk(
                     ud, inv = np.unique(d, return_inverse=True)
                     ut = np.bincount(inv, weights=t).astype(np.int64)
                     d, t = ud, ut
-                dfs = df_s_map[(qid, int(and_pos), int(syn_pos))]
+                dfs = df_s_map[(int(and_pos), int(syn_pos))]
                 syn_data.append((int(syn_pos), d, t, idf_py(dfs, num_docs)))
             syn_data.sort(key=lambda x: len(x[1]))
             inter = syn_data[0][1]
