@@ -36,15 +36,38 @@ from efficient_query_expansion_spark.functions.normalize import (
 
 VOWELS = "aeiou"
 
+# compact irregular lexicon (pattern.en's most common exceptions —
+# the full library is Python-2-only; these cover the head of the
+# distribution, suffix rules handle the tail)
+IRREGULAR_PLURAL = {
+    "man": "men", "woman": "women", "child": "children",
+    "foot": "feet", "tooth": "teeth", "mouse": "mice",
+    "goose": "geese", "person": "people", "ox": "oxen",
+    "leaf": "leaves", "wife": "wives", "knife": "knives",
+    "life": "lives", "wolf": "wolves", "half": "halves",
+    "shelf": "shelves", "loaf": "loaves", "thief": "thieves",
+    "calf": "calves",
+}
+IRREGULAR_SINGULAR = {v: k for k, v in IRREGULAR_PLURAL.items()}
+INVARIANT_NOUNS = frozenset(
+    ("sheep", "fish", "deer", "species", "series", "aircraft", "swine")
+)
+
 
 class RuleMorph:
-    """Deterministic English-ish lemma / plural rules."""
+    """Deterministic English-ish lemma / plural rules + irregular
+    lexicon (mirrored as JVM column exprs in lemma_col/pluralize_col;
+    parity enforced by tests)."""
 
     @staticmethod
     def lemma(term: str) -> str:
         if " " in term:
             return " ".join(RuleMorph.lemma(t) for t in term.split())
         w = term
+        if w in INVARIANT_NOUNS:
+            return w
+        if w in IRREGULAR_SINGULAR:
+            return IRREGULAR_SINGULAR[w]
         if len(w) > 3 and w.endswith("ies"):
             return w[:-3] + "y"
         if len(w) > 3 and w.endswith(("ses", "xes", "zes", "ches", "shes")):
@@ -59,6 +82,10 @@ class RuleMorph:
             parts = term.split()
             return " ".join(parts[:-1] + [RuleMorph.pluralize(parts[-1])])
         w = term
+        if w in INVARIANT_NOUNS:
+            return w
+        if w in IRREGULAR_PLURAL:
+            return IRREGULAR_PLURAL[w]
         if w.endswith("y") and len(w) > 1 and w[-2] not in VOWELS:
             return w[:-1] + "ies"
         if w.endswith(("s", "x", "z", "ch", "sh")):
@@ -66,10 +93,25 @@ class RuleMorph:
         return w + "s"
 
 
+def _irregular_case(w, mapping: dict):
+    """Chained CASE over the irregular lexicon (bounded, codegen'd)."""
+    expr = None
+    for src, dst in mapping.items():
+        branch = (w == src, F.lit(dst))
+        expr = (
+            F.when(*branch) if expr is None else expr.when(*branch)
+        )
+    return expr
+
+
 def _lemma_word_expr(w):
     """Column-expression mirror of ``RuleMorph.lemma`` for one word."""
+    invariant = w.isin(*INVARIANT_NOUNS)
+    irregular = _irregular_case(w, IRREGULAR_SINGULAR)
     return (
-        F.when(
+        F.when(invariant, w)
+        .when(irregular.isNotNull(), irregular)
+        .when(
             (F.length(w) > 3) & w.endswith("ies"),
             F.concat(w.substr(F.lit(1), F.length(w) - 3), F.lit("y")),
         )
@@ -92,8 +134,12 @@ def _lemma_word_expr(w):
 def _plural_word_expr(w):
     """Column-expression mirror of ``RuleMorph.pluralize`` for one word."""
     prev_ch = w.substr(F.length(w) - 1, F.lit(1))
+    invariant = w.isin(*INVARIANT_NOUNS)
+    irregular = _irregular_case(w, IRREGULAR_PLURAL)
     return (
-        F.when(
+        F.when(invariant, w)
+        .when(irregular.isNotNull(), irregular)
+        .when(
             w.endswith("y")
             & (F.length(w) > 1)
             & ~prev_ch.isin(*list(VOWELS)),

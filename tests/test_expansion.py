@@ -160,6 +160,9 @@ def test_morph_column_exprs_match_python_spec(spark):
         "buses", "bus", "quizzes", "churches", "church", "wishes",
         "wish", "glass", "glasses", "ss", "s", "xs", "ches", "shes",
         "gas", "day", "days", "boy", "toy", "fly", "sky", "y", "ay",
+        "man", "men", "child", "children", "wife", "wives", "sheep",
+        "fish", "leaf", "leaves", "person", "people", "foot", "feet",
+        "red wolf", "tall man", "big sheep",
         "fox", "buzz", "match", "dish", "hero", "new york", "red cars",
         "big cities", "hot dog", "a ses",
     ]
