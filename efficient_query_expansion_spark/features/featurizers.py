@@ -545,47 +545,214 @@ def sigir08_features(
 
 
 # ---------------------------------------------------------------------------
-# w2v-style embedding similarities (featurizer_w2v.pyx:142-174 analog)
+# w2v (featurizer_w2v.pyx:61-184) — 5 features
 # ---------------------------------------------------------------------------
 
-W2V_NAMES = ("w2v_max_cos", "w2v_mean_cos")
+W2V_NAMES = (
+    "max_syn0_sim",
+    "avg_syn0_sim",
+    "max_syn1_sim",
+    "avg_syn1_sim",
+    "context_prob",
+)
+
+_AKEY = ["qid", "and_pos"]
+
+
+def w2v_key_col(term) -> F.Column:
+    """Vocabulary key for a (possibly multi-word) term: multi-word
+    phrases are stored as ``_word1_word2_`` tokens
+    (featurizer_w2v.pyx:32, 42)."""
+    return F.when(
+        term.contains(" "),
+        F.concat(F.lit("_"), F.regexp_replace(term, " ", "_"), F.lit("_")),
+    ).otherwise(term)
+
+
+def _sq_norm(arr) -> F.Column:
+    return F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _unitvec(arr, norm) -> F.Column:
+    # gensim matutils.unitvec: divide only when the norm is > 0,
+    # otherwise return the vector unchanged.
+    return F.when(norm > 0, F.transform(arr, lambda x: x / norm)).otherwise(
+        arr
+    )
 
 
 def w2v_features(
     cand_long: DataFrame,
     base_long: DataFrame,
-    term_vectors: DataFrame,
+    vocab: DataFrame,
+    cbow_mean: bool = True,
 ) -> DataFrame:
-    """Max/mean cosine between the candidate vector and the base-term
-    vectors (term_vectors: (term, vector array<float>)). Terms with
-    no vector contribute cosine 0."""
-    from efficient_query_expansion_spark.operators.similarity import (
-        cosine_expr,
+    """Full port of the reference w2v featurizer
+    (featurizer_w2v.pyx:61-184): per candidate term, max/avg cosine
+    against the base synset in both the input (``syn0``) and output
+    (``syn1`` = syn1neg) embedding spaces, plus ``context_prob`` —
+    ``exp(dot(avg-context-syn0, syn1[term]))`` softmax-normalized per
+    candidate synset (:164-174).
+
+    ``vocab``: (term, syn0 array<double>, syn1 array<double>) — the
+    trained model's vocabulary, broadcast-joined (it is a model
+    artifact, small relative to any corpus). Terms are looked up via
+    :func:`w2v_key_col` (multi-word → ``_a_b_``); out-of-vocabulary
+    terms contribute all-zero features (pyx:142-145).
+
+    Faithful semantics, cited to featurizer_w2v.pyx:
+    * per-base-synset element-wise *average* vectors, unit-normalized
+      as a whole (``:107-131``) — NOT the average of cosines;
+    * ``max_*_sim`` = max dot against each base term's unit vector
+      (``:151-158``), ``avg_*_sim`` = dot against the unit-normalized
+      synset average (``:162-163``);
+    * context vector = sum of the other synsets' syn0 averages,
+      divided by their count when ``cbow_mean`` (``:133-136``);
+    * ``context_prob`` raw value gated on a non-empty context
+      (``:164-165``), then divided per candidate synset by
+      ``max(sum, 1.0)`` (``:172-174``).
+
+    Deliberate deviation: the reference accumulates in float32 (with
+    float64 np.sum for the synset averages); we compute end-to-end in
+    float64 — parity tests use 1e-6 relative tolerance.
+    """
+    v = vocab.select(
+        F.col("term").alias("vkey"),
+        F.col("syn0").cast("array<double>").alias("s0"),
+        F.col("syn1").cast("array<double>").alias("s1"),
+    )
+    v = (
+        v.withColumn("n0", _sq_norm(F.col("s0")))
+        .withColumn("n1", _sq_norm(F.col("s1")))
+        .withColumn("u0", _unitvec(F.col("s0"), F.col("n0")))
+        .withColumn("u1", _unitvec(F.col("s1"), F.col("n1")))
     )
 
-    tv = term_vectors.select("term", "vector")
-    c = cand_long.select(*KEY, "term").join(tv, "term", "left")
-    b = base_long.select(
-        "qid", "and_pos", "syn_pos", F.col("term").alias("b_term")
-    ).join(
-        tv.select(
-            F.col("term").alias("b_term"), F.col("vector").alias("b_vec")
-        ),
-        "b_term",
-        "left",
+    b = (
+        base_long.select(*KEY, w2v_key_col(F.col("term")).alias("vkey"))
+        .join(F.broadcast(v), "vkey", "left")
+        .withColumn("bid", F.monotonically_increasing_id())
     )
-    j = c.join(b, KEY)
-    scored = j.select(
+    b_in = b.where(F.col("s0").isNotNull())
+
+    # per-synset size + element-wise average of the raw vectors over
+    # in-vocabulary base terms (pyx:96-121)
+    bexp = b_in.select(
+        *KEY, F.posexplode(F.arrays_zip("s0", "s1")).alias("i", "e")
+    )
+    synavg = bexp.groupBy(*KEY, "i").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.avg(F.col("e.s0")).alias("a0"),
+        F.avg(F.col("e.s1")).alias("a1"),
+    )
+    synmeta = synavg.groupBy(*KEY).agg(
+        F.max("cnt").alias("sz_b"),
+        F.sqrt(F.sum(F.col("a0") * F.col("a0"))).alias("na0"),
+        F.sqrt(F.sum(F.col("a1") * F.col("a1"))).alias("na1"),
+    )
+    # and-query level: context count + per-dim sum of synset averages
+    # (pyx:92, 121-122)
+    ctxsum = synavg.groupBy(*_AKEY, "i").agg(F.sum("a0").alias("sum0"))
+    nctx = synmeta.groupBy(*_AKEY).agg(
+        F.count(F.lit(1)).alias("n_ctx")  # synsets with sz_b > 0
+    )
+
+    c = cand_long.select(
+        *KEY, "term", w2v_key_col(F.col("term")).alias("vkey")
+    ).join(F.broadcast(v), "vkey", "left")
+    cexp = c.where(F.col("s0").isNotNull()).select(
         *KEY,
         "term",
-        F.when(
-            F.col("vector").isNotNull() & F.col("b_vec").isNotNull(),
-            cosine_expr(F.col("vector"), F.col("b_vec")),
-        )
-        .otherwise(0.0)
-        .alias("cos"),
+        F.posexplode(F.arrays_zip("u0", "u1", "s1")).alias("i", "e"),
     )
-    return scored.groupBy(*KEY, "term").agg(
-        F.max("cos").cast("float").alias("w2v_max_cos"),
-        F.avg("cos").cast("float").alias("w2v_mean_cos"),
+
+    # max similarities: dot against every in-vocab base term's unit
+    # vectors (pyx:151-158)
+    buexp = b_in.select(
+        *KEY, "bid", F.posexplode(F.arrays_zip("u0", "u1")).alias("i", "be")
+    )
+    dots = (
+        cexp.join(buexp, [*KEY, "i"])
+        .groupBy(*KEY, "term", "bid")
+        .agg(
+            F.sum(F.col("e.u0") * F.col("be.u0")).alias("d0"),
+            F.sum(F.col("e.u1") * F.col("be.u1")).alias("d1"),
+        )
+    )
+    maxsims = dots.groupBy(*KEY, "term").agg(
+        F.max("d0").alias("max0"), F.max("d1").alias("max1")
+    )
+
+    # avg similarities + raw context dot (pyx:130-136, 162-165)
+    lvl = (
+        cexp.join(synavg.select(*KEY, "i", "a0", "a1"), [*KEY, "i"], "left")
+        .join(ctxsum, [*_AKEY, "i"], "left")
+        .fillna(0.0, ["a0", "a1", "sum0"])
+        .groupBy(*KEY, "term")
+        .agg(
+            F.sum(F.col("e.u0") * F.col("a0")).alias("dot_a0"),
+            F.sum(F.col("e.u1") * F.col("a1")).alias("dot_a1"),
+            F.sum(
+                (F.col("sum0") - F.col("a0")) * F.col("e.s1")
+            ).alias("dot_ctx"),
+        )
+    )
+
+    member = c.select(
+        *KEY, "term", F.col("s0").isNotNull().alias("in_vocab")
+    )
+    feats = (
+        member.join(lvl, [*KEY, "term"], "left")
+        .join(maxsims, [*KEY, "term"], "left")
+        .join(synmeta, KEY, "left")
+        .join(nctx, _AKEY, "left")
+        .fillna(0.0, ["dot_a0", "dot_a1", "dot_ctx", "max0", "max1",
+                      "na0", "na1"])
+        .fillna(0, ["sz_b", "n_ctx"])
+    )
+    has_base = F.col("sz_b") > 0
+    ctx_size = F.col("n_ctx") - has_base.cast("int")
+    avg0 = F.when(
+        has_base,
+        F.when(F.col("na0") > 0, F.col("dot_a0") / F.col("na0")).otherwise(
+            F.col("dot_a0")
+        ),
+    ).otherwise(0.0)
+    avg1 = F.when(
+        has_base,
+        F.when(F.col("na1") > 0, F.col("dot_a1") / F.col("na1")).otherwise(
+            F.col("dot_a1")
+        ),
+    ).otherwise(0.0)
+    ctx_dot = (
+        F.col("dot_ctx") / ctx_size if cbow_mean else F.col("dot_ctx")
+    )
+    prob_raw = F.when(
+        (ctx_size > 0) & F.col("in_vocab"), F.exp(ctx_dot)
+    ).otherwise(0.0)
+
+    scored = feats.select(
+        *KEY,
+        "term",
+        F.when(has_base, F.col("max0")).otherwise(0.0).alias(
+            "max_syn0_sim"
+        ),
+        avg0.alias("avg_syn0_sim"),
+        F.when(has_base, F.col("max1")).otherwise(0.0).alias(
+            "max_syn1_sim"
+        ),
+        avg1.alias("avg_syn1_sim"),
+        prob_raw.alias("prob_raw"),
+    )
+    # per-candidate-synset softmax-style normalization (pyx:172-174)
+    w = Window.partitionBy(*KEY)
+    denom = F.greatest(F.sum("prob_raw").over(w), F.lit(1.0))
+    return scored.select(
+        *KEY,
+        "term",
+        "max_syn0_sim",
+        "avg_syn0_sim",
+        "max_syn1_sim",
+        "avg_syn1_sim",
+        (F.col("prob_raw") / denom).alias("context_prob"),
     )

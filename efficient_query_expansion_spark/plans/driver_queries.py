@@ -1827,6 +1827,9 @@ register(
     "selection_pipeline", FQ.q_selection_pipeline,
     FQ.selection_sql(_TOKS_CTE),
 )
+register(
+    "f10_w2v_features", FQ.q_w2v_features, FQ.w2v_sql(_TOKS_CTE)
+)
 
 
 # ---------------------------------------------------------------------------

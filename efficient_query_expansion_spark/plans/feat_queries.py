@@ -715,3 +715,238 @@ SELECT qid, and_pos, syn_pos, term, round(pred, 5) AS pred,
        CAST(rn - 1 AS INT) AS step
 FROM ranked WHERE rn <= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# F10 — w2v featurizer (featurizer_w2v.pyx:61-184, 5 features)
+# ---------------------------------------------------------------------------
+
+W2V_DIMS = 6
+W2V_OOV_TERM = "fast"  # excluded from the vocab → exercises pyx:142-145
+W2V_EXTRA_KEYS = ("_row_scan_", "_key_agg_")  # multi-word vocab tokens
+
+# FEAT_BASE/FEAT_CAND plus a second synset for qid 2 (activates its
+# context) with a multi-word base term, and a multi-word candidate.
+W2V_FEAT_BASE = FEAT_BASE + [
+    (2, 0, 1, 0, "key agg"), (2, 0, 1, 1, "scan"),
+]
+W2V_FEAT_CAND = FEAT_CAND + [
+    (2, 0, 0, "row scan"), (2, 0, 1, "slow"),
+]
+
+
+def _md5_unit(tag: int, i) -> str:
+    """Deterministic pseudo-random vector component in [-1, 1] from
+    md5(key#tag#dim) — identically computable in Spark and DuckDB."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "", F.col("term"), F.lit(f"#{tag}#"),
+                        i.cast("string"),
+                    )
+                ),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long") % 2001 - 1000
+    ) / 1000.0
+
+
+def w2v_hash_vocab(terms_df, dims: int = W2V_DIMS):
+    """(term) → (term, syn0, syn1) with md5-derived components — a
+    deterministic stand-in for a trained model's vocabulary (the real
+    engine loads the two embedding tables from parquet)."""
+    idx = F.sequence(F.lit(0), F.lit(dims - 1))
+    return terms_df.select(
+        "term",
+        F.transform(idx, lambda i: _md5_unit(0, i)).alias("syn0"),
+        F.transform(idx, lambda i: _md5_unit(1, i)).alias("syn1"),
+    )
+
+
+def q_w2v_features(spark, sf_dir):
+    """featurizer_w2v.pyx:61-184 (5 features) on the fixture CNFs
+    against an md5-derived vocabulary built from the corpus term
+    dictionary (minus one planted OOV term, plus two multi-word
+    keys)."""
+    from efficient_query_expansion_spark.features.featurizers import (
+        W2V_NAMES,
+        w2v_features,
+    )
+
+    base = spark.createDataFrame(
+        W2V_FEAT_BASE,
+        "qid int, and_pos int, syn_pos int, term_pos int, term string",
+    )
+    cand = spark.createDataFrame(
+        W2V_FEAT_CAND, "qid int, and_pos int, syn_pos int, term string"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = TK.with_tokens(TK.with_norm_text(docs, ascii_fast_path=True))
+    pos = TK.token_positions(toks, doc_key=["doc_id"])
+    terms = (
+        pos.where(F.col("term").isNotNull() & (F.col("term") != ""))
+        .select("term")
+        .distinct()
+        .where(F.col("term") != W2V_OOV_TERM)
+        .unionByName(
+            spark.createDataFrame(
+                [(k,) for k in W2V_EXTRA_KEYS], "term string"
+            )
+        )
+        .distinct()
+    )
+    out = w2v_features(cand, base, w2v_hash_vocab(terms))
+    return out.select(
+        "qid", "and_pos", "syn_pos", "term",
+        *[F.round(F.col(c), 5).alias(c) for c in W2V_NAMES],
+    )
+
+
+def w2v_sql(toks_cte: str) -> str:
+    base_vals = _values(W2V_FEAT_BASE)
+    cand_vals = _values(W2V_FEAT_CAND)
+    extra = ", ".join(f"('{k}')" for k in W2V_EXTRA_KEYS)
+    return f"""
+WITH {toks_cte},
+vkeys AS (
+  SELECT DISTINCT term AS vkey FROM toks
+  WHERE term <> '' AND term <> '{W2V_OOV_TERM}'
+  UNION SELECT vkey FROM (VALUES {extra}) ex(vkey)
+),
+dims AS (SELECT unnest(generate_series(0, {W2V_DIMS - 1})) AS i),
+vocab AS (
+  SELECT vkey, i,
+    (CAST('0x' || substr(md5(vkey || '#0#' || CAST(i AS VARCHAR)), 1, 6)
+          AS BIGINT) % 2001 - 1000) / 1000.0 AS s0,
+    (CAST('0x' || substr(md5(vkey || '#1#' || CAST(i AS VARCHAR)), 1, 6)
+          AS BIGINT) % 2001 - 1000) / 1000.0 AS s1
+  FROM vkeys, dims
+),
+vnorm AS (SELECT vkey, sqrt(sum(s0 * s0)) AS n0, sqrt(sum(s1 * s1)) AS n1
+          FROM vocab GROUP BY 1),
+baser(qid, and_pos, syn_pos, term_pos, term) AS (VALUES {base_vals}),
+candr(qid, and_pos, syn_pos, term) AS (VALUES {cand_vals}),
+bkey AS (
+  SELECT qid, and_pos, syn_pos, term_pos,
+         CASE WHEN term LIKE '% %'
+              THEN '_' || replace(term, ' ', '_') || '_'
+              ELSE term END AS vkey
+  FROM baser
+),
+bv AS (
+  SELECT b.qid, b.and_pos, b.syn_pos, b.term_pos, v.i, v.s0, v.s1,
+         n.n0, n.n1
+  FROM bkey b JOIN vocab v USING (vkey) JOIN vnorm n USING (vkey)
+),
+synavg AS (
+  SELECT qid, and_pos, syn_pos, i, count(*) AS cnt,
+         avg(s0) AS a0, avg(s1) AS a1
+  FROM bv GROUP BY 1, 2, 3, 4
+),
+synmeta AS (
+  SELECT qid, and_pos, syn_pos, max(cnt) AS sz_b,
+         sqrt(sum(a0 * a0)) AS na0, sqrt(sum(a1 * a1)) AS na1
+  FROM synavg GROUP BY 1, 2, 3
+),
+ctxsum AS (SELECT qid, and_pos, i, sum(a0) AS sum0
+           FROM synavg GROUP BY 1, 2, 3),
+nctx AS (SELECT qid, and_pos, count(*) AS n_ctx
+         FROM synmeta GROUP BY 1, 2),
+ckey AS (
+  SELECT qid, and_pos, syn_pos, term,
+         CASE WHEN term LIKE '% %'
+              THEN '_' || replace(term, ' ', '_') || '_'
+              ELSE term END AS vkey
+  FROM candr
+),
+cv AS (
+  SELECT c.qid, c.and_pos, c.syn_pos, c.term, v.i,
+         CASE WHEN n.n0 > 0 THEN v.s0 / n.n0 ELSE v.s0 END AS u0,
+         CASE WHEN n.n1 > 0 THEN v.s1 / n.n1 ELSE v.s1 END AS u1,
+         v.s1 AS s1raw
+  FROM ckey c JOIN vocab v USING (vkey) JOIN vnorm n USING (vkey)
+),
+bu AS (
+  SELECT qid, and_pos, syn_pos, term_pos, i,
+         CASE WHEN n0 > 0 THEN s0 / n0 ELSE s0 END AS u0,
+         CASE WHEN n1 > 0 THEN s1 / n1 ELSE s1 END AS u1
+  FROM bv
+),
+dots AS (
+  SELECT c.qid, c.and_pos, c.syn_pos, c.term, b.term_pos,
+         sum(c.u0 * b.u0) AS d0, sum(c.u1 * b.u1) AS d1
+  FROM cv c JOIN bu b
+    ON b.qid = c.qid AND b.and_pos = c.and_pos
+   AND b.syn_pos = c.syn_pos AND b.i = c.i
+  GROUP BY 1, 2, 3, 4, 5
+),
+maxsims AS (
+  SELECT qid, and_pos, syn_pos, term,
+         max(d0) AS max0, max(d1) AS max1
+  FROM dots GROUP BY 1, 2, 3, 4
+),
+lvl AS (
+  SELECT c.qid, c.and_pos, c.syn_pos, c.term,
+         sum(c.u0 * coalesce(sa.a0, 0)) AS dot_a0,
+         sum(c.u1 * coalesce(sa.a1, 0)) AS dot_a1,
+         sum((coalesce(cs.sum0, 0) - coalesce(sa.a0, 0)) * c.s1raw)
+           AS dot_ctx
+  FROM cv c
+  LEFT JOIN synavg sa
+    ON sa.qid = c.qid AND sa.and_pos = c.and_pos
+   AND sa.syn_pos = c.syn_pos AND sa.i = c.i
+  LEFT JOIN ctxsum cs
+    ON cs.qid = c.qid AND cs.and_pos = c.and_pos AND cs.i = c.i
+  GROUP BY 1, 2, 3, 4
+),
+feats0 AS (
+  SELECT c.qid, c.and_pos, c.syn_pos, c.term,
+         coalesce(sm.sz_b, 0) AS sz_b,
+         coalesce(nc.n_ctx, 0)
+           - CASE WHEN coalesce(sm.sz_b, 0) > 0 THEN 1 ELSE 0 END
+           AS ctx_size,
+         l.term IS NOT NULL AS in_vocab,
+         coalesce(ms.max0, 0) AS max0, coalesce(ms.max1, 0) AS max1,
+         coalesce(l.dot_a0, 0) AS dot_a0,
+         coalesce(l.dot_a1, 0) AS dot_a1,
+         coalesce(l.dot_ctx, 0) AS dot_ctx,
+         coalesce(sm.na0, 0) AS na0, coalesce(sm.na1, 0) AS na1
+  FROM candr c
+  LEFT JOIN lvl l
+    ON l.qid = c.qid AND l.and_pos = c.and_pos
+   AND l.syn_pos = c.syn_pos AND l.term = c.term
+  LEFT JOIN maxsims ms
+    ON ms.qid = c.qid AND ms.and_pos = c.and_pos
+   AND ms.syn_pos = c.syn_pos AND ms.term = c.term
+  LEFT JOIN synmeta sm
+    ON sm.qid = c.qid AND sm.and_pos = c.and_pos
+   AND sm.syn_pos = c.syn_pos
+  LEFT JOIN nctx nc ON nc.qid = c.qid AND nc.and_pos = c.and_pos
+),
+feats1 AS (
+  SELECT qid, and_pos, syn_pos, term,
+         CASE WHEN sz_b > 0 THEN max0 ELSE 0 END AS max_syn0_sim,
+         CASE WHEN sz_b > 0 THEN
+           CASE WHEN na0 > 0 THEN dot_a0 / na0 ELSE dot_a0 END
+         ELSE 0 END AS avg_syn0_sim,
+         CASE WHEN sz_b > 0 THEN max1 ELSE 0 END AS max_syn1_sim,
+         CASE WHEN sz_b > 0 THEN
+           CASE WHEN na1 > 0 THEN dot_a1 / na1 ELSE dot_a1 END
+         ELSE 0 END AS avg_syn1_sim,
+         CASE WHEN ctx_size > 0 AND in_vocab
+              THEN exp(dot_ctx / ctx_size) ELSE 0 END AS prob_raw
+  FROM feats0
+)
+SELECT qid, and_pos, syn_pos, term,
+       round(max_syn0_sim, 5) AS max_syn0_sim,
+       round(avg_syn0_sim, 5) AS avg_syn0_sim,
+       round(max_syn1_sim, 5) AS max_syn1_sim,
+       round(avg_syn1_sim, 5) AS avg_syn1_sim,
+       round(prob_raw / greatest(
+         sum(prob_raw) OVER (PARTITION BY qid, and_pos, syn_pos), 1.0
+       ), 5) AS context_prob
+FROM feats1
+"""

@@ -595,3 +595,84 @@ def sigir08_extended_oracle(base_repr, exp_repr, term_stats, pair_stats,
                 )
                 out[(i_and, p, term)] = feats
     return out
+
+
+def _w2v_unit(v):
+    import numpy as np
+
+    n = math.sqrt(float(np.dot(v, v)))
+    return v / n if n > 0 else v
+
+
+def w2v_oracle(base_repr, exp_repr, syn0, syn1, cbow_mean=True):
+    """Faithful port of _c_get_features (featurizer_w2v.pyx:61-174).
+
+    ``syn0``/``syn1``: dict term-key → np.ndarray (float64 here; the
+    reference holds float32 — compare with relative tolerance).
+    Returns {(i_and, and_pos, term): [5 features]} with features in
+    W2V_NAMES order (pyx:178-184).
+    """
+    import numpy as np
+
+    dims = len(next(iter(syn0.values())))
+    out = {}
+    for i_and, and_query in enumerate(exp_repr):
+        # resolve base synsets once
+        base_keys = [
+            [
+                ("_{}_".format(t[0].replace(" ", "_"))
+                 if " " in t[0] else t[0])
+                for t in synset
+            ]
+            for synset in base_repr[i_and]
+        ]
+        n_syn = len(base_keys)
+        base_sz = np.zeros(n_syn, dtype=np.int64)
+        avg0 = np.zeros((n_syn, dims))
+        avg1 = np.zeros((n_syn, dims))
+        context_vectors = 0
+        for p, keys in enumerate(base_keys):
+            v0 = [syn0[k] for k in keys if k in syn0]
+            v1 = [syn1[k] for k in keys if k in syn1]
+            base_sz[p] = len(v0)
+            if v0:
+                avg0[p] = np.sum(v0, axis=0) / len(v0)
+                avg1[p] = np.sum(v1, axis=0) / len(v1)
+                context_vectors += 1
+        sum0 = avg0.sum(axis=0)
+
+        for p, synset in enumerate(and_query):
+            keys = base_keys[p]
+            b0n = [_w2v_unit(syn0[k]) for k in keys if k in syn0]
+            b1n = [_w2v_unit(syn1[k]) for k in keys if k in syn1]
+            a0n = _w2v_unit(avg0[p])
+            a1n = _w2v_unit(avg1[p])
+            ctx_size = context_vectors - int(base_sz[p] > 0)
+            ctx = sum0 - avg0[p]
+            if ctx_size > 0 and cbow_mean:
+                ctx = ctx / ctx_size
+            rows = []
+            for term_tags in synset:
+                term = term_tags[0]
+                key = ("_{}_".format(term.replace(" ", "_"))
+                       if " " in term else term)
+                m0 = m1 = a0 = a1 = prob = 0.0
+                if key in syn0:
+                    if base_sz[p] > 0:
+                        t0 = _w2v_unit(syn0[key])
+                        t1 = _w2v_unit(syn1[key])
+                        m0 = max(float(np.dot(t0, b)) for b in b0n)
+                        m1 = max(float(np.dot(t1, b)) for b in b1n)
+                        a0 = float(np.dot(t0, a0n))
+                        a1 = float(np.dot(t1, a1n))
+                    if ctx_size > 0:
+                        prob = math.exp(float(np.dot(ctx, syn1[key])))
+                rows.append([term, m0, a0, m1, a1, prob])
+            # pyx:172-174 — per-synset normalization
+            if rows:
+                denom = max(sum(r[5] for r in rows), 1.0)
+                for r in rows:
+                    r[5] /= denom
+            for r in rows:
+                out[(i_and, p, r[0])] = r[1:]
+    return out

@@ -403,3 +403,87 @@ def test_cooc_featurizers_structural_fuzz(spark, ctx, seed):
         for qid in base_repr
     }
     _check(got_e, EXT_NAMES, oracles_e)
+
+
+# ---------------------------------------------------------------------------
+# w2v featurizer (featurizer_w2v.pyx:61-184) — 5 features
+# ---------------------------------------------------------------------------
+
+W2V_BASE = {
+    0: [[[("car",), ("auto",)], [("fast",)]]],
+    1: [[[("movie",)], [("zzz_oov",)],
+         [("street",), ("main street",)]]],
+    2: [[[("ship",)]]],
+}
+W2V_CAND = {
+    0: [[[("automobile",), ("motor car",)],
+         [("quick",), ("zzq_oov",)]]],
+    1: [[[("film",)], [("huge",), ("large",)], [("road",)]]],
+    2: [[[("vessel",), ("boat",)]]],
+}
+W2V_KEYS = [
+    "car", "auto", "fast", "movie", "street", "_main_street_", "ship",
+    "automobile", "_motor_car_", "quick", "film", "huge", "large",
+    "road", "vessel", "boat",
+]
+
+
+def test_w2v_parity(spark):
+    """Spark plan vs the pyx-port oracle: multi-term base synsets,
+    OOV base synset (sz=0), OOV candidate, multi-word keys, a
+    single-synset query (empty context), and a zero vector (unitvec
+    guard)."""
+    import numpy as np
+
+    from efficient_query_expansion_spark.features.featurizers import (
+        W2V_NAMES,
+        w2v_features,
+    )
+    from tests.feature_oracle import w2v_oracle
+
+    rng = np.random.RandomState(7)
+    syn0 = {k: rng.uniform(-1, 1, 5) for k in W2V_KEYS}
+    syn1 = {k: rng.uniform(-1, 1, 5) for k in W2V_KEYS}
+    syn0["boat"] = np.zeros(5)  # exercise matutils.unitvec zero-norm
+
+    vocab = spark.createDataFrame(
+        [
+            (k, [float(x) for x in syn0[k]], [float(x) for x in syn1[k]])
+            for k in W2V_KEYS
+        ],
+        "term string, syn0 array<double>, syn1 array<double>",
+    )
+    base_rows, cand_rows = [], []
+    for qid in W2V_BASE:
+        for a, aq in enumerate(W2V_BASE[qid]):
+            for s, synset in enumerate(aq):
+                for t in synset:
+                    base_rows.append((qid, a, s, t[0]))
+        for a, aq in enumerate(W2V_CAND[qid]):
+            for s, synset in enumerate(aq):
+                for t in synset:
+                    cand_rows.append((qid, a, s, t[0]))
+    base = spark.createDataFrame(
+        base_rows, "qid int, and_pos int, syn_pos int, term string"
+    )
+    cand = spark.createDataFrame(
+        cand_rows, "qid int, and_pos int, syn_pos int, term string"
+    )
+
+    got = w2v_features(cand, base, vocab).collect()
+    assert len(got) == len(cand_rows)
+    oracles = {
+        qid: w2v_oracle(W2V_BASE[qid], W2V_CAND[qid], syn0, syn1)
+        for qid in W2V_BASE
+    }
+    _check(got, W2V_NAMES, oracles)
+    # the OOV candidate must be exactly all-zero (pyx:142-145)
+    oov = [r for r in got if r["term"] == "zzq_oov"][0]
+    assert all(oov[n] == 0.0 for n in W2V_NAMES)
+    # per-synset probs sum to ≤ 1 (denominator max(sum, 1.0))
+    import collections
+
+    sums = collections.defaultdict(float)
+    for r in got:
+        sums[(r["qid"], r["and_pos"], r["syn_pos"])] += r["context_prob"]
+    assert all(s <= 1.0 + 1e-9 for s in sums.values())
