@@ -131,7 +131,7 @@ def run_queries(spark, index, timings: dict) -> None:
     for qid, repr_ in BM25_QUERIES.items():
         qlong = query_reprs_to_long_df(spark, {qid: repr_})
         t0 = time.time()
-        sharded_topk(qlong, index, k=K, qreprs={qid: repr_}).collect()
+        sharded_topk(qlong, index, k=K).collect()
         lat.append(time.time() - t0)
     lat.sort()
     timings["bm25_query_avg"] = round(sum(lat) / len(lat), 3)
@@ -141,7 +141,7 @@ def run_queries(spark, index, timings: dict) -> None:
     # batched evaluation (the engine's natural mode)
     qlong = query_reprs_to_long_df(spark, BM25_QUERIES)
     t0 = time.time()
-    sharded_topk(qlong, index, k=K, qreprs=BM25_QUERIES).collect()
+    sharded_topk(qlong, index, k=K).collect()
     timings["bm25_query_batch"] = round(time.time() - t0, 3)
 
 

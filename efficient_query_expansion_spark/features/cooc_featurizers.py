@@ -32,6 +32,12 @@ initialization artifact that makes results order-dependent for
 zero-df base terms); we define min/max lexicographically on
 (df, tf) — identical whenever base terms occur in the corpus.
 
+Second deliberate deviation: when a term has no co-occ2, the
+reference's early return (sigir08extended.pyx:67-68, with reset=True)
+leaves that term's co-occ3 vectors holding STALE values from the
+previous call — undefined-behavior-by-memory-reuse; we zero-gate the
+triple vector instead (deterministic zeros).
+
 Input frames:
 * ``base_long``: (qid, and_pos, syn_pos, term [, term_pos]) — the
   source synsets; ``term_pos`` gives the reference's stored term

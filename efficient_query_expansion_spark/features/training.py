@@ -249,10 +249,16 @@ def fit_selection_model(
 
 
 def find_threshold(y_true: np.ndarray, y_pred: np.ndarray) -> float:
-    """Exact port of nb 2.1 cell 70: sweep predictions ascending and
+    """Port of nb 2.1 cell 70: sweep predictions ascending and
     return the prediction value maximizing the accuracy of the rule
     ``pred >= threshold → positive`` (including its keep-best_p=0
-    initialization)."""
+    initialization).
+
+    Deliberate deviation: we use a deterministic STABLE float64
+    argsort where the reference uses numpy's default unstable
+    quicksort over float32 — under tied predictions the visit order,
+    and hence the returned threshold value, can differ from the
+    reference's (the achieved accuracy is identical)."""
     y_true = np.asarray(y_true, dtype=np.float64)
     y_pred = np.asarray(y_pred, dtype=np.float64)
     best_p = 0

@@ -172,10 +172,12 @@ def sharded_topk(
     index: dict[str, DataFrame],
     k: int = 10,
     doc_key: list[str] = DOC_KEY,
-    qreprs: dict | None = None,
 ) -> DataFrame:
     """Top-k from the compressed sharded index; rank-identical (and
-    score-bit-identical) to :func:`exact_topk`.
+    score-bit-identical) to :func:`exact_topk`. ``queries_long`` is
+    the single source of truth for the query CNFs (the synset-count
+    and df columns are derived from it distributed — no driver-side
+    query state).
     """
     spark = queries_long.sparkSession
     if "meta_values" in index:

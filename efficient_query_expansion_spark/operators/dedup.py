@@ -181,15 +181,53 @@ def simhash(
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
+def ngram_hot_shingles(
+    shingles: DataFrame,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Dropped-mass report for a capped Jaccard join: shingles whose
+    document frequency exceeds ``max_shingle_df`` with their df. At
+    corpus scale these are boilerplate n-grams (template headers,
+    licence lines) whose s·(s-1)/2 join blowup would dominate the
+    shuffle while carrying ~no Jaccard signal. Log/persist this
+    alongside the dedup output."""
+    return (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("shingle_df"))
+        .where(F.col("shingle_df") > max_shingle_df)
+    )
+
+
 def ngram_jaccard_pairs(
     shingles: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing a shingle.
 
     Output: id_a, id_b, jaccard (double) for jaccard >= threshold.
+
+    ``max_shingle_df`` caps the shared-shingle self-join: shingles in
+    more than that many documents are removed BEFORE the join (a
+    shingle present in s docs emits s·(s-1)/2 join rows — one
+    boilerplate 3-gram in 10^6 docs would emit 5·10^11). The filtered
+    shingles are removed from BOTH the overlap and the per-doc sizes,
+    so the result is the exact Jaccard over the surviving (signal-
+    bearing) shingle space — the same stopword-style semantics as the
+    LSH path's ``max_bucket_size``. Use :func:`ngram_hot_shingles`
+    with the same cap to report the dropped mass. Default ``None``
+    keeps the fully exact semantics for bounded inputs (e.g. when
+    verifying ``lsh_candidate_pairs`` output).
     """
+    if max_shingle_df is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("shingle_df"))
+            .where(F.col("shingle_df") > max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = shingles.alias("a"), shingles.alias("b")
     overlap = (
@@ -231,6 +269,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup detection, LSH-bucketed: candidate
     pairs share a sign-LSH bucket (linear in corpus size — never
@@ -238,9 +277,14 @@ def embedding_near_duplicates(
     above ``threshold``. Output: (id_a < id_b, cosine).
 
     At 100 TB: one broadcast-hyperplane pass assigns buckets, the
-    self-join shuffles on the bucket key only; combine with
-    ``lsh_hot_buckets``-style capping if a degenerate embedding value
-    dominates.
+    self-join shuffles on the bucket key only. ``max_bucket_size``
+    caps the remaining skew source: a degenerate embedding value
+    (e.g. all-zeros from a failed encoder batch) puts every such row
+    in one bucket, and an uncapped bucket of size s emits s·(s-1)/2
+    pairs. Buckets above the cap are anti-joined away BEFORE the
+    self-join — the same pattern as ``lsh_candidate_pairs``; use
+    :func:`embedding_hot_buckets` with the same parameters to report
+    the dropped mass.
     """
     from efficient_query_expansion_spark.operators.similarity import (
         cosine_expr,
@@ -248,6 +292,14 @@ def embedding_near_duplicates(
     )
 
     b = sign_lsh_buckets(embeddings, hyperplanes, id_col, vec_col)
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") > max_bucket_size)
+            .select("bucket")
+        )
+        b = b.join(F.broadcast(hot), "bucket", "left_anti")
     a = embeddings.join(b, id_col)
     left = a.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
@@ -260,3 +312,24 @@ def embedding_near_duplicates(
         "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
     )
     return scored.where(F.col("cosine") >= F.lit(float(threshold)))
+
+
+def embedding_hot_buckets(
+    embeddings: DataFrame,
+    hyperplanes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Dropped-mass report for a capped embedding near-dup join:
+    sign-LSH buckets whose membership exceeds ``max_bucket_size``."""
+    from efficient_query_expansion_spark.operators.similarity import (
+        sign_lsh_buckets,
+    )
+
+    b = sign_lsh_buckets(embeddings, hyperplanes, id_col, vec_col)
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket_size)
+    )

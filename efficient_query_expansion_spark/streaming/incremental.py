@@ -51,6 +51,13 @@ def merge_stats_batch(
     import os
     import shutil
 
+    # crash recovery: a crash between the two swap renames below
+    # leaves the previous state only under ``.old`` — restore it so
+    # the accumulation is never silently reset.
+    old = state_path + ".old"
+    if not os.path.exists(state_path) and os.path.exists(old):
+        os.rename(old, state_path)
+
     ledger = os.path.join(state_path, "_applied_epochs.json")
     applied: list[int] = []
     if os.path.exists(ledger):
@@ -69,15 +76,21 @@ def merge_stats_batch(
         merged = merge_term_stats(prev, part)
     else:
         merged = part
-    # write-then-swap for atomicity on plain files (an Iceberg
-    # catalog would make this a snapshot commit)
+    # write-then-swap on plain files (an Iceberg catalog would make
+    # this a snapshot commit): move the old state ASIDE before
+    # renaming the new one in, so a crash at any point leaves either
+    # the old or the new complete table on disk — never neither.
     tmp = state_path + f".epoch{epoch_id}"
     merged.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_applied_epochs.json"), "w") as f:
         json.dump(applied + [int(epoch_id)], f)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a crash after a swap
     if os.path.exists(state_path):
-        shutil.rmtree(state_path)
+        os.rename(state_path, old)
     os.rename(tmp, state_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return True
 
 

@@ -215,3 +215,87 @@ def test_lsh_hot_bucket_cap(spark):
 
     uncapped = lsh_candidate_pairs(sig)
     assert uncapped.count() >= 19900
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """A boilerplate shingle shared by 200 docs would emit ~19,900
+    join rows; max_shingle_df drops it before the join while real
+    near-dup pairs (sharing low-df shingles) keep exact Jaccard over
+    the surviving shingle space."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        ngram_hot_shingles,
+        ngram_jaccard_pairs,
+        token_shingles,
+    )
+    from efficient_query_expansion_spark.operators.tokenize import (
+        with_norm_text,
+        with_tokens,
+    )
+
+    # every doc carries the same boilerplate header; two docs share a
+    # long unique tail (true near-dups)
+    rows = [
+        (i, f"standard header line for all documents row{i} " )
+        for i in range(200)
+    ]
+    tail = "unique payload about shuffle partition skew and remedies"
+    rows += [(1000, "standard header line for all documents " + tail),
+             (1001, "different intro line not like the others " + tail)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = token_shingles(with_tokens(with_norm_text(docs)), n=3)
+
+    capped = ngram_jaccard_pairs(
+        sh, threshold=0.3, max_shingle_df=50
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in ids          # real near-dups survive
+    assert all(a >= 1000 for a, _ in ids)  # boilerplate-only pairs gone
+
+    hot = ngram_hot_shingles(sh, max_shingle_df=50).collect()
+    assert len(hot) >= 1
+    assert all(r["shingle_df"] >= 200 for r in hot)
+    # uncapped run on the same input shows the blowup the cap avoids
+    assert ngram_jaccard_pairs(sh, threshold=0.99).count() == 0
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """A degenerate embedding value (failed encoder batch → constant
+    vector) floods one sign-LSH bucket; max_bucket_size drops that
+    bucket before the self-join while a planted genuine near-dup pair
+    in a healthy bucket survives."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        embedding_hot_buckets,
+        embedding_near_duplicates,
+    )
+
+    rng = np.random.RandomState(3)
+    degenerate = [0.01] * 8
+    rows = [(i, degenerate) for i in range(300)]
+    base = rng.uniform(-1, 1, 8)
+    near = base + rng.uniform(-0.01, 0.01, 8)
+    rows += [(1000, [float(x) for x in base]),
+             (1001, [float(x) for x in near])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    planes = spark.createDataFrame(
+        [(h, [float(x) for x in rng.uniform(-1, 1, 8)])
+         for h in range(4)],
+        "hid long, hvec array<double>",
+    )
+
+    capped = embedding_near_duplicates(
+        emb, planes, threshold=0.95, max_bucket_size=100
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in ids
+    assert all(a >= 1000 for a, _ in ids)
+
+    hot = embedding_hot_buckets(
+        emb, planes, max_bucket_size=100
+    ).collect()
+    assert len(hot) >= 1 and all(r["bucket_n"] >= 300 for r in hot)
+
+    # uncapped: the degenerate bucket emits the quadratic pair set
+    uncapped = embedding_near_duplicates(emb, planes, threshold=0.95)
+    assert uncapped.count() >= 300 * 299 / 2

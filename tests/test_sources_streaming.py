@@ -184,6 +184,38 @@ def test_merge_stats_batch_epoch_idempotent(spark, tmp_path):
     assert doubled == {k: (d * 2, f * 2) for k, (d, f) in once.items()}
 
 
+def test_merge_stats_batch_crash_between_renames(spark, tmp_path):
+    """A crash between the two swap renames leaves the state only
+    under ``.old``; the next merge must restore it, not reset the
+    accumulation."""
+    import os
+    import shutil
+
+    from efficient_query_expansion_spark.fixtures import spark_transcripts
+    from efficient_query_expansion_spark.streaming.incremental import (
+        merge_stats_batch,
+    )
+
+    t = spark_transcripts(spark, n_convs=6)
+    state = str(tmp_path / "state")
+    assert merge_stats_batch(t, state, epoch_id=0) is True
+    once = {
+        r["term"]: (r["df"], r["tf"]) for r in
+        spark.read.parquet(state).collect()
+    }
+    # simulate the crash window: old moved aside, new never renamed in
+    os.rename(state, state + ".old")
+    assert merge_stats_batch(t, state, epoch_id=1) is True
+    assert not os.path.exists(state + ".old")
+    merged = {
+        r["term"]: (r["df"], r["tf"]) for r in
+        spark.read.parquet(state).collect()
+    }
+    # epoch 0's contribution survived the simulated crash
+    assert merged == {k: (d * 2, f * 2) for k, (d, f) in once.items()}
+    shutil.rmtree(state)
+
+
 def test_stateful_conversation_stats(spark, tmp_path):
     """applyInPandasWithState keyed state survives a query restart
     from the checkpoint: the second drop ACCUMULATES per-conversation
