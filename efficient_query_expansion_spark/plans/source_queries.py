@@ -277,3 +277,100 @@ WHERE NOT regexp_matches(title, '^[A-Za-z]+:')
 """
 
 ENTRIES["p7_namespace_filter"] = (q_p7_namespace_filter, P7_SQL)
+
+
+# ---------------------------------------------------------------------------
+# S13 — wiki-markup bold-mention alias mining (reference nb 1.1
+# cells 5-17: pages_from + MyExtractor)
+# ---------------------------------------------------------------------------
+
+WIKI_DUMP_FIXTURE = """<mediawiki>
+  <page>
+    <title>Anarchism</title>
+    <ns>0</ns>
+    <id>12</id>
+    <revision>
+      <id>100</id>
+      <text xml:space="preserve">{{Short description|Political philosophy}}
+'''Anarchism''' (from ''anarchy'') is a [[political philosophy]] also called '''''libertarian socialism'''''.&lt;ref&gt;cite&lt;/ref&gt;
+It favours '''[[self-governance|self-rule]]''' and '''A&amp;B theory'''.
+== Etymology ==
+'''Anarchist''' appears only after the first heading.</text>
+    </revision>
+  </page>
+  <page>
+    <title>Chemistry</title>
+    <ns>0</ns>
+    <id>20</id>
+    <revision>
+      <id>200</id>
+      <text xml:space="preserve">'''&lt;abbr title="Chem"&gt;CH&lt;/abbr&gt;emistry''' is the study of matter.
+Also written	'''chemical   science'''.</text>
+    </revision>
+  </page>
+  <page>
+    <title>Plainpage</title>
+    <ns>0</ns>
+    <id>30</id>
+    <revision>
+      <id>300</id>
+      <text xml:space="preserve">No mentions here at all.</text>
+    </revision>
+  </page>
+  <page>
+    <title>AccessibleComputing</title>
+    <ns>0</ns>
+    <id>10</id>
+    <redirect title="Computer &amp; accessibility" />
+    <revision>
+      <id>55</id>
+      <text xml:space="preserve" />
+    </revision>
+  </page>
+</mediawiki>
+"""
+
+
+def q_wiki_bold_aliases(spark, sf_dir):
+    """S13: raw dump fragment → first-paragraph bold/bold-italic
+    aliases + redirect rows (nb 1.1 cells 5-17; golden derivation in
+    the oracle VALUES: heading cutoff, wiki-link anchor text, ref and
+    entity handling, nested-tag strip, title self-discard)."""
+    from efficient_query_expansion_spark.sources.wiki_markup import (
+        bold_alias_frame,
+        read_wiki_dump,
+        redirect_frame,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="eqx_s13_")
+    with open(os.path.join(tmp, "part1.xml"), "w") as f:
+        f.write(WIKI_DUMP_FIXTURE)
+    pages = read_wiki_dump(spark, tmp)
+    al = bold_alias_frame(pages).select(
+        "page_id",
+        "title",
+        F.lit("alias").alias("kind"),
+        F.explode_outer("aliases").alias("value"),
+    )
+    rd = redirect_frame(pages).select(
+        "page_id",
+        "title",
+        F.lit("redirect").alias("kind"),
+        F.col("redirect_title").alias("value"),
+    )
+    return al.unionByName(rd)
+
+
+S13_SQL = """
+SELECT * FROM (VALUES
+  ('12', 'Anarchism', 'alias', 'A&B theory'),
+  ('12', 'Anarchism', 'alias', 'libertarian socialism'),
+  ('12', 'Anarchism', 'alias', 'self-rule'),
+  ('20', 'Chemistry', 'alias', 'CHemistry'),
+  ('20', 'Chemistry', 'alias', 'chemical   science'),
+  ('30', 'Plainpage', 'alias', NULL),
+  ('10', 'AccessibleComputing', 'redirect', 'Computer & accessibility')
+) AS t(page_id, title, kind, value)
+"""
+
+ENTRIES["s13_wiki_bold_aliases"] = (q_wiki_bold_aliases, S13_SQL)

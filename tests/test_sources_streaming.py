@@ -265,3 +265,49 @@ def test_stateful_conversation_stats(spark, tmp_path):
         ).collect()
     }
     assert got2 == want2
+
+
+def test_wiki_bold_alias_miner(spark, tmp_path):
+    """nb 1.1 cells 5-17 semantics: heading cutoff, BI-before-B
+    marking, link anchor text, escaped-ref removal, nested-tag strip,
+    tab replacement, title self-discard, redirect capture."""
+    from efficient_query_expansion_spark.sources.wiki_markup import (
+        bold_alias_frame,
+        extract_bold_aliases,
+        read_wiki_dump,
+        redirect_frame,
+    )
+
+    text = (
+        "{{Infobox|x=1}}\n"
+        "'''Alpha''' or '''''beta gamma''''' is a thing."
+        "&lt;ref&gt;src&lt;/ref&gt;\n"
+        "Linked '''[[target|anchor]]''' and '''A&amp;B''' plus"
+        " a tab '''a\tb'''.\n"
+        "== Heading ==\n"
+        "'''after''' is ignored.\n"
+    )
+    got = extract_bold_aliases("Alpha", text)
+    assert got == ["A&B", "a b", "anchor", "beta gamma"]
+
+    dump = (
+        "<mediawiki>\n<page>\n<title>Alpha</title>\n<id>1</id>\n"
+        "<revision><id>9</id>"
+        "<text xml:space=\"preserve\">" + text.replace("\t", "&#9;")
+        + "</text></revision>\n</page>\n"
+        "<page>\n<title>Beta</title>\n<id>2</id>\n"
+        "<redirect title=\"Alpha &amp; Co\" />\n"
+        "<revision><id>10</id><text xml:space=\"preserve\" /></revision>\n"
+        "</page>\n</mediawiki>\n"
+    )
+    f = tmp_path / "dump.xml"
+    f.write_text(dump)
+    pages = read_wiki_dump(spark, str(tmp_path))
+    al = {
+        r["title"]: r["aliases"] for r in bold_alias_frame(pages).collect()
+    }
+    assert al == {"Alpha": ["A&B", "a b", "anchor", "beta gamma"]}
+    rd = redirect_frame(pages).collect()
+    assert [(r["page_id"], r["title"], r["redirect_title"]) for r in rd] == [
+        ("2", "Beta", "Alpha & Co")
+    ]
