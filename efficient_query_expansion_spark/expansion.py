@@ -21,9 +21,13 @@ one pass:
    candidates already among the query terms (:104-110) and those not
    made of frequent unigrams (:98-102).
 
-``pattern.en`` (Python-2-only) is replaced by a deterministic
-rule-based lemmatizer/pluralizer (``RuleMorph``); fixture thesauri
-use base forms so behavior is equivalent on them.
+``pattern.en`` (Python-2-only) is replaced by a broadcast
+``morph_lexicon`` dimension (term → lemma, plural; generated once at
+thesaurus-build time, e.g. from frozen pattern.en outputs) joined in
+``build_part1_candidates``, with a deterministic rule-based
+lemmatizer/pluralizer (``RuleMorph``) as the out-of-vocabulary
+fallback; fixture thesauri use base forms so behavior is equivalent
+on them even without a lexicon.
 """
 
 from __future__ import annotations
@@ -247,10 +251,50 @@ def preprocess_queries(
     )
 
 
+def _with_lemma(df: DataFrame, src_col: str, lexicon: DataFrame | None):
+    """lemma(src_col) → ``lemma`` column: broadcast lexicon lookup
+    (pattern.en-derived dimension, reference
+    query_expansion_support.py:50-56) with the RuleMorph column
+    expression as the out-of-vocabulary fallback."""
+    if lexicon is None:
+        return df.withColumn("lemma", lemma_col(src_col))
+    lx = F.broadcast(
+        lexicon.select(
+            F.col("term").alias(src_col), F.col("lemma").alias("_lx_lemma")
+        )
+    )
+    return (
+        df.join(lx, src_col, "left")
+        .withColumn("lemma", F.coalesce("_lx_lemma", lemma_col(src_col)))
+        .drop("_lx_lemma")
+    )
+
+
+def _plural_of(df: DataFrame, src_col: str, lexicon: DataFrame | None):
+    """pluralize(src_col) → ``_plural`` column (lexicon join +
+    RuleMorph fallback, reference :57-59)."""
+    if lexicon is None:
+        return df.withColumn("_plural", pluralize_col(src_col))
+    lx = F.broadcast(
+        lexicon.select(
+            F.col("term").alias(src_col),
+            F.col("plural").alias("_lx_plural"),
+        )
+    )
+    return (
+        df.join(lx, src_col, "left")
+        .withColumn(
+            "_plural", F.coalesce("_lx_plural", pluralize_col(src_col))
+        )
+        .drop("_lx_plural")
+    )
+
+
 def build_part1_candidates(
     spark: SparkSession,
     segments: DataFrame,       # (segment_id, segment)
     meanings: DataFrame,       # (segment_id, meaning_id, pos, syn_segment_id)
+    morph_lexicon: DataFrame | None = None,
 ) -> DataFrame:
     """Dimension table: source term → thesaurus candidates with tags.
 
@@ -260,19 +304,25 @@ def build_part1_candidates(
     Norm segments' meanings minus extensions; Plu = plurals of the
     noun Norms+Syns.
 
-    Morphology runs as JVM column expressions (``lemma_col`` /
-    ``pluralize_col``) — no per-row Python anywhere in the plan.
+    ``morph_lexicon`` (term, lemma, plural) is the Spark-idiomatic
+    replacement for pattern.en (reference
+    query_expansion_support.py:50-59, a Python-2-only dependency):
+    a dictionary generated once at thesaurus-build time (e.g. frozen
+    pattern.en outputs over the segment vocabulary, multi-word terms
+    precomputed per word) becomes a broadcast dimension join, and the
+    deterministic ``RuleMorph`` column expressions remain only as the
+    out-of-vocabulary fallback. Without a lexicon, morphology runs
+    entirely as JVM column expressions — no per-row Python anywhere
+    in the plan either way.
     """
-    lemma_udf = lemma_col
-    plural_udf = pluralize_col
-
     seg = segments.select("segment_id", "segment")
-    seg_pos = (
+    seg_pos = _with_lemma(
         meanings.select("segment_id", "pos")
         .distinct()
         .join(seg, "segment_id")
-        .select("segment", "pos", F.col("segment_id"))
-        .withColumn("lemma", lemma_udf("segment"))
+        .select("segment", "pos", F.col("segment_id")),
+        "segment",
+        morph_lexicon,
     )
     # lemma index: lemma+pos → normalized segments
     lemma_index = seg_pos.select(
@@ -287,10 +337,12 @@ def build_part1_candidates(
     all_pos = spark.createDataFrame(
         [("noun",), ("verb",), ("adj",), ("adv",)], "pos string"
     )
-    src = seg.select(F.col("segment").alias("term")).distinct()
-    src_pos = src.crossJoin(all_pos).withColumn(
-        "lemma", lemma_udf("term")
+    src = _with_lemma(
+        seg.select(F.col("segment").alias("term")).distinct(),
+        "term",
+        morph_lexicon,
     )
+    src_pos = src.crossJoin(all_pos)
     lem = src_pos.select(
         "term", F.col("lemma").alias("cand"), "pos",
         F.lit("Lem").alias("kind"),
@@ -339,9 +391,14 @@ def build_part1_candidates(
     )
 
     plu = (
-        norm.where(F.col("pos") == "noun")
-        .unionByName(syn.where(F.col("pos") == "noun"))
-        .select("term", plural_udf("cand").alias("cand"))
+        _plural_of(
+            norm.where(F.col("pos") == "noun")
+            .unionByName(syn.where(F.col("pos") == "noun"))
+            .select("term", "cand"),
+            "cand",
+            morph_lexicon,
+        )
+        .select("term", F.col("_plural").alias("cand"))
         .withColumn("pos", F.lit("noun"))
         .withColumn("kind", F.lit("Plu"))
     )

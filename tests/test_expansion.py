@@ -175,3 +175,62 @@ def test_morph_column_exprs_match_python_spec(spark):
     for r in got:
         assert r["lem"] == RuleMorph.lemma(r["term"]), r["term"]
         assert r["plu"] == RuleMorph.pluralize(r["term"]), r["term"]
+
+
+def test_morph_lexicon_join_overrides_rules(spark):
+    """F8 via dictionary table (reference
+    query_expansion_support.py:50-59): a frozen pattern.en-derived
+    lexicon joined as a broadcast dimension overrides RuleMorph on
+    its entries (irregular lemmas/plurals RuleMorph can't produce)
+    while out-of-lexicon terms keep the rule fallback."""
+    # segments: 'running' should Norm-link to 'run' only via the
+    # lexicon lemma; 'criterion'/'matrix' are noun synonyms whose
+    # correct plurals are suppletive.
+    segments = spark.createDataFrame(
+        [(0, "running"), (1, "run"), (2, "criterion"), (3, "matrix"),
+         (4, "boxes")],
+        "segment_id long, segment string",
+    )
+    meanings = spark.createDataFrame(
+        [
+            (1, 10, "verb", 1),          # run: verb meaning, self
+            (2, 20, "noun", 2), (2, 20, "noun", 3),  # criterion~matrix
+            (3, 20, "noun", 2), (3, 20, "noun", 3),
+            (4, 30, "noun", 4),          # boxes: noun, self
+        ],
+        "segment_id long, meaning_id long, pos string,"
+        " syn_segment_id long",
+    )
+    # frozen pattern.en outputs for the fixture vocabulary
+    lexicon = spark.createDataFrame(
+        [
+            ("running", "run", "runnings"),
+            ("criterion", "criterion", "criteria"),
+            ("matrix", "matrix", "matrices"),
+        ],
+        "term string, lemma string, plural string",
+    )
+
+    def cands(p1, term, kind):
+        return sorted({
+            r["cand"] for r in p1.where(
+                (F.col("term") == term) & (F.col("kind") == kind)
+            ).collect()
+        })
+
+    with_lx = build_part1_candidates(
+        spark, segments, meanings, morph_lexicon=lexicon
+    )
+    # lexicon lemma links running -> run (verb Norm)
+    assert cands(with_lx, "running", "Norm") == ["run"]
+    # suppletive plurals come from the lexicon
+    assert "criteria" in cands(with_lx, "criterion", "Plu")
+    assert "matrices" in cands(with_lx, "criterion", "Plu")
+    # OOV fallback: 'boxes' is not in the lexicon -> RuleMorph
+    assert cands(with_lx, "boxes", "Lem") == ["box"]
+
+    without = build_part1_candidates(spark, segments, meanings)
+    # RuleMorph alone cannot link running->run or produce criteria
+    assert cands(without, "running", "Norm") == []
+    plu = cands(without, "criterion", "Plu")
+    assert "criteria" not in plu and "criterions" in plu
