@@ -244,6 +244,36 @@ def run_ann(spark, timings: dict) -> dict:
     lsh = topk_sets(lsh_topk(base, queries, planes, k=10))
     timings["ann_lsh"] = round(time.time() - t0, 3)
     out["lsh8_recall_at_10"] = recall(lsh)
+
+    # banded (multi-table OR) sign-LSH: recall tunable via the
+    # (bits/table b, tables g) pair — candidate fraction on uniform
+    # data ≈ 1-(1-2^-b)^g, so recall climbs from the single-table
+    # 2^-8 floor to >0.5 at equal exact-verify budget to IVF probe 8.
+    from efficient_query_expansion_spark.operators.similarity import (
+        banded_lsh_topk,
+    )
+    from pyspark.sql import Window
+
+    n_base = base.count()
+    for b, g in ((2, 4), (3, 8)):
+        planes_bg = (
+            base.limit(b * g)
+            .withColumn(
+                "hid",
+                F.row_number().over(
+                    Window.orderBy("vec_id")
+                ) - 1,
+            )
+            .select("hid", F.col("embedding").alias("hvec"))
+        )
+        t0 = time.time()
+        res = banded_lsh_topk(
+            base, queries, planes_bg, k=10, num_tables=g
+        )
+        banded = topk_sets(res)
+        timings[f"ann_banded_lsh_b{b}x{g}"] = round(time.time() - t0, 3)
+        out[f"banded_lsh_recall_at_10_b{b}x{g}"] = recall(banded)
+    out["ann_corpus_size"] = n_base
     return out
 
 

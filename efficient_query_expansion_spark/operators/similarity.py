@@ -211,3 +211,92 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def banded_sign_lsh_buckets(
+    embeddings: DataFrame,
+    hyperplanes: DataFrame,
+    num_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hid_col: str = "hid",
+    hvec_col: str = "hvec",
+) -> DataFrame:
+    """Multi-table sign-LSH: the hyperplane set is split round-robin
+    into ``num_tables`` independent tables (table = hid % g) and each
+    row gets one bucket per table. Output: (id, table, bucket).
+    Hyperplane ids must be contiguous 0..n-1 so the round-robin split
+    gives every table n/g planes.
+
+    This is the AND/OR construction (the MinHash banding already used
+    in dedup, applied to random hyperplanes): a candidate must match
+    ALL bits of a table (AND) but only SOME table (OR), so with b
+    bits/table and g tables the collision probability for angle-
+    similarity p rises from p^B (single table) to 1-(1-p^b)^g —
+    recall becomes tunable via g like IVF's n_probe.
+    """
+    j = embeddings.crossJoin(F.broadcast(hyperplanes))
+    bits = j.select(
+        F.col(id_col),
+        (F.col(hid_col) % num_tables).alias("table"),
+        F.col(hid_col),
+        F.when(dot_expr(F.col(vec_col), F.col(hvec_col)) > 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias("bit"),
+    )
+    return bits.groupBy(id_col, "table").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(hid_col, "bit"))),
+                lambda s: s["bit"],
+            ),
+        ).alias("bucket")
+    )
+
+
+def banded_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    hyperplanes: DataFrame,
+    k: int = 10,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over the OR of ``num_tables`` sign-LSH
+    tables: a row is a candidate when it shares the full bucket of
+    ANY table with the query; candidates are deduped before exact
+    cosine scoring, so the per-query work is the distinct-candidate
+    set size. Same output shape as :func:`lsh_topk` /
+    :func:`ivf_topk`."""
+    base = banded_sign_lsh_buckets(
+        embeddings, hyperplanes, num_tables, id_col, vec_col
+    )
+    qb = banded_sign_lsh_buckets(
+        queries.select(
+            F.col("qid").alias(id_col), F.col("qvec").alias(vec_col)
+        ),
+        hyperplanes,
+        num_tables,
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).alias("qid"), "table", "bucket")
+    cand_ids = (
+        base.join(F.broadcast(qb), ["table", "bucket"])
+        .select("qid", id_col)
+        .distinct()
+    )
+    cand = cand_ids.join(embeddings, id_col).join(
+        F.broadcast(queries), "qid"
+    )
+    scored = cand.select(
+        "qid",
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

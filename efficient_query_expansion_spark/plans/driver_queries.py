@@ -1013,6 +1013,47 @@ FROM bits GROUP BY vec_id
 )
 
 
+def q_sim_banded_lsh(spark, sf_dir):
+    """Banded (multi-table OR) sign-LSH buckets: 8 hyperplanes split
+    round-robin into 4 tables of 2 bits — the tunable-recall ANN
+    bucketing (operators/similarity.py banded_sign_lsh_buckets)."""
+    from efficient_query_expansion_spark.operators.similarity import (
+        banded_sign_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("hid"), F.col("embedding").alias("hvec")
+    )
+    out = banded_sign_lsh_buckets(emb, planes, num_tables=4)
+    return out.select("vec_id", F.col("table").cast("int").alias("tbl"),
+                      "bucket")
+
+
+register(
+    "sim_banded_lsh_buckets",
+    q_sim_banded_lsh,
+    """
+WITH planes AS (SELECT vec_id AS hid, embedding AS hvec
+                FROM embeddings WHERE vec_id < 8),
+elems AS (
+  SELECT e.vec_id, p.hid, p.hid % 4 AS tbl,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(p.hvec) AS DOUBLE) AS y
+  FROM embeddings e, planes p
+),
+dots AS (SELECT vec_id, hid, tbl, sum(x * y) AS dot
+         FROM elems GROUP BY 1, 2, 3),
+bits AS (SELECT vec_id, hid, tbl,
+                CASE WHEN dot > 0 THEN '1' ELSE '0' END AS bit
+         FROM dots)
+SELECT vec_id, CAST(tbl AS INT) AS tbl,
+       string_agg(bit, '' ORDER BY hid) AS bucket
+FROM bits GROUP BY vec_id, tbl
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -299,3 +299,57 @@ def test_embedding_near_dup_bucket_cap(spark):
     # uncapped: the degenerate bucket emits the quadratic pair set
     uncapped = embedding_near_duplicates(emb, planes, threshold=0.95)
     assert uncapped.count() >= 300 * 299 / 2
+
+
+def test_banded_lsh_recall_beats_single_table(spark):
+    """OR over g tables makes recall tunable: on a synthetic corpus
+    the banded (b=2, g=4) candidate set is a strict superset of any
+    single table's and recall@10 improves over the 8-bit single
+    table at the same verify pipeline."""
+    from efficient_query_expansion_spark.operators.similarity import (
+        banded_lsh_topk,
+        banded_sign_lsh_buckets,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.limit(5).selectExpr(
+        "vec_id as qid", "embedding as qvec"
+    )
+    base = emb.where(F.col("vec_id") >= 5)
+    planes8 = spark.createDataFrame(
+        [(h, [float(x) for x in rng.uniform(-1, 1, 8)]) for h in range(8)],
+        "hid long, hvec array<double>",
+    )
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], set()).add(r["vec_id"])
+        return out
+
+    truth = sets(brute_force_topk(base, queries, k=10))
+
+    def recall(approx):
+        return sum(
+            len(approx.get(q, set()) & truth[q]) / len(truth[q])
+            for q in truth
+        ) / len(truth)
+
+    single = recall(sets(lsh_topk(base, queries, planes8, k=10)))
+    banded = recall(
+        sets(banded_lsh_topk(base, queries, planes8, k=10, num_tables=4))
+    )
+    assert banded > single
+    assert banded >= 0.5  # 1-(1-2^-2)^4 ≈ 0.68 expected on uniform
+
+    # structural: one bucket per (row, table); bucket width = b
+    b = banded_sign_lsh_buckets(base, planes8, num_tables=4)
+    rows_b = b.collect()
+    assert len(rows_b) == base.count() * 4
+    assert all(len(r["bucket"]) == 2 for r in rows_b)
