@@ -185,39 +185,84 @@ def fit_gbdt(
     min_samples: int = 2,
     reg_lambda: float = 1.0,
     feature_names: tuple = (),
+    objective: str = "reg:squarederror",
+    groups: "np.ndarray | list[int] | None" = None,
 ):
-    """Driver-side fit. Uses xgboost (reg:squarederror) when the
-    package is importable — the reference's path (nb 2.1 cell 47) —
-    else the deterministic numpy GBDT."""
+    """Driver-side fit. Uses xgboost when the package is importable —
+    the reference's path (nb 2.1 cell 47: ``rank:pairwise`` with
+    per-query groups for the scoring models; cells 74/79:
+    ``reg:linear`` for the pruning models) — else the deterministic
+    numpy GBDT.
+
+    The numpy fallback supports both objective families: squared
+    error, and for ``rank:pairwise`` a RankNet-style pairwise
+    logistic gradient within each group (first-order boosting — the
+    same learning-to-rank semantics, though not xgboost's exact
+    second-order updates; parity with the real library is gated
+    behind its import)."""
     X = np.asarray(X, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
+    if groups is not None:
+        groups = np.asarray(groups, dtype=np.int64)
+        assert int(groups.sum()) == len(y)
     try:  # pragma: no cover - xgboost absent in this container
         import xgboost as xgb
 
+        dtrain = xgb.DMatrix(X, label=y)
+        if groups is not None and objective.startswith("rank:"):
+            dtrain.set_group([int(g) for g in groups])
         booster = xgb.train(
             params={
-                "objective": "reg:squarederror",
+                "objective": objective,
                 "max_depth": max_depth,
                 "eta": eta,
                 "lambda": reg_lambda,
             },
             num_boost_round=num_rounds,
-            dtrain=xgb.DMatrix(X, label=y),
+            dtrain=dtrain,
         )
         return booster
     except ImportError:
         pass
+    pairwise = objective.startswith("rank:")
+    if pairwise and groups is None:
+        groups = np.asarray([len(y)], dtype=np.int64)
     model = GBDTModel(
-        eta=eta, base_score=float(y.mean()),
+        eta=eta,
+        base_score=0.0 if pairwise else float(y.mean()),
         feature_names=tuple(feature_names),
     )
     pred = np.full(len(y), model.base_score, dtype=np.float64)
     for _ in range(num_rounds):
-        resid = y - pred
-        nodes = _fit_tree(X, resid, max_depth, min_samples, reg_lambda)
+        if pairwise:
+            target = _pairwise_gradients(y, pred, groups)
+        else:
+            target = y - pred
+        nodes = _fit_tree(X, target, max_depth, min_samples, reg_lambda)
         model.trees.append(nodes)
         pred += eta * model._predict_tree(nodes, X)
     return model
+
+
+def _pairwise_gradients(
+    y: np.ndarray, pred: np.ndarray, groups: np.ndarray
+) -> np.ndarray:
+    """RankNet gradient per sample within each group: for every pair
+    with y_i > y_j, push i up / j down by sigmoid(-(s_i - s_j)).
+    O(n²) per group — groups are per-query candidate lists (dozens),
+    and the fit is driver-side like the reference's."""
+    g = np.zeros(len(y), dtype=np.float64)
+    left = 0
+    for n in groups:
+        right = left + int(n)
+        yy = y[left:right]
+        pp = pred[left:right]
+        better = yy[:, None] > yy[None, :]
+        s = 1.0 / (1.0 + np.exp(np.clip(pp[:, None] - pp[None, :],
+                                        -50, 50)))
+        g[left:right] = (better * s).sum(axis=1) - (better * s).sum(axis=0)
+        left = right
+    return g
 
 
 # ---------------------------------------------------------------------------

@@ -1851,6 +1851,57 @@ register("f2_textual_features", q_textual_features, _textual_sql())
 
 
 # ---------------------------------------------------------------------------
+# Streaming — deterministic micro-batch replay of the incremental
+# stats maintenance (streaming/incremental.py)
+# ---------------------------------------------------------------------------
+
+def q_stream_term_stats(spark, sf_dir):
+    """Incremental A1/A2 maintenance under a deterministic 3-batch
+    replay (turn_idx % 3 splits) plus one redelivered epoch (must
+    no-op via the applied-epoch ledger): the final persisted state
+    must equal the batch term stats over the full corpus — the same
+    additivity the A6 merge entry gates, here through the streaming
+    foreachBatch machinery."""
+    import tempfile
+
+    from efficient_query_expansion_spark.fixtures import (
+        transcripts_from_documents,
+    )
+    from efficient_query_expansion_spark.streaming.incremental import (
+        merge_stats_batch,
+    )
+
+    t = transcripts_from_documents(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="eqx_stream_") + "/state"
+    batches = [t.where(F.col("turn_idx") % 3 == i) for i in range(3)]
+    for i, b in enumerate(batches):
+        assert merge_stats_batch(b, state, epoch_id=i) is True
+    # redelivery after a simulated checkpoint-commit failure: no-op
+    assert merge_stats_batch(batches[1], state, epoch_id=1) is False
+    return (
+        spark.read.parquet(state)
+        .select("term", "df", "tf", "tf2")
+        .orderBy("term")
+    )
+
+
+register(
+    "stream_term_stats_replay",
+    q_stream_term_stats,
+    f"""
+WITH {_TOKS_CTE},
+per_doc AS (
+  SELECT doc_id, term, count(*) AS tf_doc FROM toks GROUP BY 1, 2
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf_doc) AS BIGINT) AS tf,
+       CAST(sum(tf_doc * tf_doc) AS BIGINT) AS tf2
+FROM per_doc GROUP BY term ORDER BY term
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # F — collection-stats featurizers (featurizer_custom.pyx 71 feats,
 # featurizer_sigir08extended.pyx 42 feats)
 # ---------------------------------------------------------------------------

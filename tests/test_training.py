@@ -155,3 +155,62 @@ def test_gbdt_save_load_roundtrip(tmp_path):
     m2 = GBDTModel.load(p)
     assert m2.feature_names == m.feature_names
     assert np.array_equal(m.predict(X), m2.predict(X))
+
+
+def test_pairwise_objective_learns_ranking():
+    """rank:pairwise fallback (nb 2.1 cell 47's objective): labels
+    with a heavy non-linear scale distortion still rank correctly,
+    where the squared-error fit chases the outlier magnitudes."""
+    from efficient_query_expansion_spark.features.training import (
+        predict_matrix,
+    )
+
+    rng = np.random.RandomState(5)
+    n_groups, per = 12, 8
+    X, y, groups = [], [], []
+    for _ in range(n_groups):
+        x = rng.rand(per, 3)
+        rank_score = x[:, 0]  # true ordering driven by feature 0
+        # distorted magnitudes: exponential blowup + noise
+        label = np.exp(6 * rank_score) + rng.rand(per) * 0.1
+        X.append(x)
+        y.append(label)
+        groups.append(per)
+    X = np.concatenate(X)
+    y = np.concatenate(y)
+
+    m = fit_gbdt(
+        X, y, num_rounds=40, objective="rank:pairwise", groups=groups
+    )
+    pred = predict_matrix(m, X)
+
+    def top1_hits(p):
+        hits, left = 0, 0
+        for g in groups:
+            sl = slice(left, left + g)
+            hits += int(np.argmax(p[sl]) == np.argmax(y[sl]))
+            left += g
+        return hits
+
+    assert top1_hits(pred) >= n_groups - 1  # ranks ~every group right
+
+
+def test_xgboost_path_when_importable(tmp_path):
+    """Exercises the real-library path (grouped rank:pairwise DMatrix
+    + predict) — skip-marked because xgboost is absent from this
+    container."""
+    xgb = pytest.importorskip("xgboost")
+    from efficient_query_expansion_spark.features.training import (
+        predict_matrix,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.rand(40, 3)
+    y = X[:, 0] * 10
+    m = fit_gbdt(
+        X, y, num_rounds=10, objective="rank:pairwise",
+        groups=[10, 10, 10, 10],
+    )
+    assert isinstance(m, xgb.Booster)
+    pred = predict_matrix(m, X)
+    assert len(pred) == len(y)
