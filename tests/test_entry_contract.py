@@ -13,7 +13,13 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001; override with SPARK_GRAFT_GATE_SF_DIR to run the
+# same gate at sf0.01 / sf0.1 (scale bugs masked at tiny sf)
+import os
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.001"
+)
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
