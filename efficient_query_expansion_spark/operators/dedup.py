@@ -333,3 +333,70 @@ def embedding_hot_buckets(
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .where(F.col("bucket_n") > max_bucket_size)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b) → connected components:
+    (doc id, cluster_id = min id of its component). Downstream keeps
+    ``id == cluster_id`` as the survivor — the step that turns
+    pairwise dedup output into an actual drop list.
+
+    Plan: iterative min-label propagation (each round every node
+    takes the min label over itself and its neighbors) — the standard
+    distributed CC; rounds needed = component diameter, and near-dup
+    components are small/star-shaped (a template cluster is a clique
+    → 1 round), so the loop converges in a handful of shuffles even
+    at corpus scale. Each round is one equi-join + groupBy on the
+    node id; labels are localCheckpointed to keep lineage flat. The
+    convergence check collects a single scalar per round (driver-side
+    single-row reads are the documented exception).
+    """
+    edges = (
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"),
+                    F.col("label").alias("nlabel"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("nlabel").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce("nmin", F.col("label")) < F.col("label")
+                ).alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("changed")).count()
+        labels = updated.select("id", "label")
+        if n_changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

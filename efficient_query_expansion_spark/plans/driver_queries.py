@@ -919,6 +919,62 @@ WHERE CAST(o AS DOUBLE) / CAST(sa.sz + sb.sz - o AS DOUBLE) >= 0.5
 )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components (min-label propagation):
+    the clustering step that turns pairwise dedup output into a
+    keep/drop list (survivor = min id per component)."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+        token_shingles,
+    )
+
+    sh = token_shingles(_docs_tokens(spark, sf_dir), n=3)
+    pairs = ngram_jaccard_pairs(sh, threshold=0.5)
+    return duplicate_clusters(pairs).orderBy("id")
+
+
+register(
+    "dedup_clusters",
+    q_dedup_clusters,
+    f"""
+WITH RECURSIVE {_TOKS_CTE},
+grams AS (
+  SELECT DISTINCT t1.doc_id,
+         t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+overlap AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+  FROM grams a JOIN grams b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM overlap
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(o AS DOUBLE) / CAST(sa.sz + sb.sz - o AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

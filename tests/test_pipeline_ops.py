@@ -353,3 +353,30 @@ def test_banded_lsh_recall_beats_single_table(spark):
     rows_b = b.collect()
     assert len(rows_b) == base.count() * 4
     assert all(len(r["bucket"]) == 2 for r in rows_b)
+
+
+def test_duplicate_clusters_components(spark):
+    """Min-label propagation finds components across shapes the
+    one-round star case doesn't cover: a 4-node chain (diameter 3),
+    a clique, and an isolated pair."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain
+            (10, 11), (10, 12), (11, 12),    # clique
+            (20, 21),                        # pair
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
