@@ -586,6 +586,7 @@ def w2v_features(
     base_long: DataFrame,
     vocab: DataFrame,
     cbow_mean: bool = True,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Full port of the reference w2v featurizer
     (featurizer_w2v.pyx:61-184): per candidate term, max/avg cosine
@@ -595,10 +596,14 @@ def w2v_features(
     candidate synset (:164-174).
 
     ``vocab``: (term, syn0 array<double>, syn1 array<double>) — the
-    trained model's vocabulary, broadcast-joined (it is a model
-    artifact, small relative to any corpus). Terms are looked up via
-    :func:`w2v_key_col` (multi-word → ``_a_b_``); out-of-vocabulary
-    terms contribute all-zero features (pyx:142-145).
+    trained model's vocabulary. Broadcast-joined by default (typical
+    models are ≤ a few hundred MB); set ``broadcast_vocab=False`` for
+    multi-GB embedding tables — the joins are equi-joins on the term
+    key either way, so Catalyst falls back to a shuffled hash join
+    whose big side is the (query-scale, not corpus-scale) candidate
+    frame. Terms are looked up via :func:`w2v_key_col` (multi-word →
+    ``_a_b_``); out-of-vocabulary terms contribute all-zero features
+    (pyx:142-145).
 
     Faithful semantics, cited to featurizer_w2v.pyx:
     * per-base-synset element-wise *average* vectors, unit-normalized
@@ -628,9 +633,10 @@ def w2v_features(
         .withColumn("u1", _unitvec(F.col("s1"), F.col("n1")))
     )
 
+    vj = F.broadcast(v) if broadcast_vocab else v
     b = (
         base_long.select(*KEY, w2v_key_col(F.col("term")).alias("vkey"))
-        .join(F.broadcast(v), "vkey", "left")
+        .join(vj, "vkey", "left")
         .withColumn("bid", F.monotonically_increasing_id())
     )
     b_in = b.where(F.col("s0").isNotNull())
@@ -659,7 +665,7 @@ def w2v_features(
 
     c = cand_long.select(
         *KEY, "term", w2v_key_col(F.col("term")).alias("vkey")
-    ).join(F.broadcast(v), "vkey", "left")
+    ).join(vj, "vkey", "left")
     cexp = c.where(F.col("s0").isNotNull()).select(
         *KEY,
         "term",
