@@ -1907,6 +1907,205 @@ register("f2_textual_features", q_textual_features, _textual_sql())
 
 
 # ---------------------------------------------------------------------------
+# Thesaurus assembly (reference nb 1.3) — alias sources + OpenOffice
+# meanings → segments/meanings/entity_alias dimension tables
+# ---------------------------------------------------------------------------
+
+_TH_STOPS = ("slow", "fast")
+_TH_ALIASES = [
+    ("e1", "key agg", "WPTit"),
+    ("e1", "row", "WPAli"),
+    ("e1", "row", "WPRed"),            # duplicate alias: tags merge
+    ("e2", "scan", "WPTit"),           # 1 single-word alias: dropped
+    ("e3", "key row scan", "WPTit"),   # 1 multi-word alias: kept
+    ("e4", "slow fast", "WPTit"),      # all-stopword: filtered
+    ("e4", "zzznotaword row", "WPAli"),  # infrequent word: filtered
+]
+_TH_OO = [
+    # word, meaning_idx, pos, key_variants, syn_variants
+    ("key", 0, "noun", ["key", "agg"], [["row"], ["zzzbad"]]),
+    ("zzzonly", 0, "noun", ["zzzonly"], [["row"]]),  # key fails: drop
+]
+
+
+def q_thesaurus_assembly(spark, sf_dir):
+    """nb 1.3 cells 8-21 relationally: support filter over the
+    corpus unigram dictionary, entity keep-rule, tag merge, Hyph
+    meaning, md5-derived segment/meaning ids. Output: the three
+    dimension tables flattened to one comparable frame."""
+    from efficient_query_expansion_spark.thesaurus import (
+        assemble_thesaurus,
+    )
+
+    aliases = spark.createDataFrame(
+        [(e, a, [t]) for e, a, t in _TH_ALIASES],
+        "entity_id string, alias string, tags array<string>",
+    )
+    oo = spark.createDataFrame(
+        [
+            (w, i, p, [], kv, sv)
+            for w, i, p, kv, sv in _TH_OO
+        ],
+        "word string, meaning_idx int, pos string,"
+        " synonyms array<string>, key_variants array<string>,"
+        " syn_variants array<array<string>>",
+    )
+    pos = TK.token_positions(_docs_tokens(spark, sf_dir),
+                             doc_key=["doc_id"])
+    good = (
+        pos.where(F.col("term").isNotNull() & (F.col("term") != ""))
+        .select("term")
+        .distinct()
+    )
+    stops = spark.createDataFrame(
+        [(s,) for s in _TH_STOPS], "term string"
+    )
+    th = assemble_thesaurus([aliases], oo, good, stops)
+    seg = th["segments"].select(
+        F.lit("segment").alias("kind"),
+        F.col("segment_id").cast("string").alias("a"),
+        F.col("segment").alias("b"),
+        F.lit("").alias("c"),
+    )
+    ea = th["entity_alias"].select(
+        F.lit("entity").alias("kind"),
+        F.col("entity_id").alias("a"),
+        F.col("segment_id").cast("string").alias("b"),
+        F.concat_ws(",", "tags").alias("c"),
+    )
+    mg = th["meanings"].select(
+        F.lit("meaning").alias("kind"),
+        F.col("segment_id").cast("string").alias("a"),
+        F.concat_ws(
+            "#", F.col("meaning_id").cast("string"), F.col("pos")
+        ).alias("b"),
+        F.col("syn_segment_id").cast("string").alias("c"),
+    )
+    return seg.unionByName(ea).unionByName(mg)
+
+
+def _thesaurus_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _TH_STOPS)
+    alias_vals = ", ".join(
+        f"('{e}', '{a}', '{t}')" for e, a, t in _TH_ALIASES
+    )
+    oo_vals = ", ".join(
+        "('{}', {}, '{}', {}, {})".format(
+            w, i, p,
+            "[" + ", ".join(f"'{k}'" for k in kv) + "]",
+            "[" + ", ".join(
+                "[" + ", ".join(f"'{s}'" for s in sv) + "]"
+                for sv in svv
+            ) + "]",
+        )
+        for w, i, p, kv, svv in _TH_OO
+    )
+    return f"""
+WITH {_TOKS_CTE},
+goodl AS (SELECT list(DISTINCT term) AS gl FROM toks WHERE term <> ''),
+stopl AS (SELECT [{stops}] AS sl),
+aliases(entity_id, alias, tag) AS (VALUES {alias_vals}),
+oo(word, meaning_idx, pos, key_variants, syn_variants)
+  AS (VALUES {oo_vals}),
+alias_ok AS (
+  SELECT a.* FROM aliases a, goodl, stopl
+  WHERE len(string_split(alias, ' ')) BETWEEN 1 AND 6
+    AND list_has_all(gl, string_split(alias, ' '))
+    AND NOT list_has_all(sl, string_split(alias, ' '))
+),
+merged AS (
+  SELECT entity_id, alias,
+         list_sort(list_distinct(list(tag))) AS tags
+  FROM alias_ok GROUP BY 1, 2
+),
+keepents AS (
+  SELECT entity_id FROM merged GROUP BY entity_id
+  HAVING count(*) >= 2
+      OR (count(*) = 1 AND max(CASE WHEN alias LIKE '% %'
+                                    THEN 1 ELSE 0 END) = 1)
+),
+ea AS (
+  SELECT m.entity_id,
+         CAST('0x' || substr(md5(m.alias), 1, 15) AS BIGINT)
+           AS segment_id,
+         m.alias, m.tags
+  FROM merged m JOIN keepents USING (entity_id)
+),
+keys0 AS (
+  SELECT DISTINCT word, unnest(key_variants) AS segment FROM oo
+),
+keys_ok AS (
+  SELECT k.* FROM keys0 k, goodl, stopl
+  WHERE len(string_split(segment, ' ')) BETWEEN 1 AND 6
+    AND list_has_all(gl, string_split(segment, ' '))
+    AND NOT list_has_all(sl, string_split(segment, ' '))
+),
+syns0 AS (
+  SELECT DISTINCT word, meaning_idx, pos,
+         unnest(flatten(syn_variants)) AS segment
+  FROM oo
+),
+syns_ok AS (
+  SELECT s.* FROM syns0 s, goodl, stopl
+  WHERE len(string_split(segment, ' ')) BETWEEN 1 AND 6
+    AND list_has_all(gl, string_split(segment, ' '))
+    AND NOT list_has_all(sl, string_split(segment, ' '))
+),
+pos_meanings AS (
+  SELECT word,
+         word || '#' || pos || '#' || CAST(meaning_idx AS VARCHAR)
+           AS mkey,
+         pos, segment AS syn_segment
+  FROM syns_ok
+),
+hyphm AS (
+  SELECT k.word, k.word || '#Hyph' AS mkey, 'Hyph' AS pos,
+         k.segment AS syn_segment
+  FROM keys_ok k
+  JOIN (SELECT word FROM keys_ok GROUP BY word HAVING count(*) > 1) h
+    USING (word)
+),
+meanings_long AS (
+  SELECT * FROM pos_meanings UNION ALL SELECT * FROM hyphm
+),
+mrows AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(k.segment), 1, 15) AS BIGINT)
+           AS segment_id,
+         CAST('0x' || substr(md5(m.mkey), 1, 15) AS BIGINT)
+           AS meaning_id,
+         m.pos,
+         CAST('0x' || substr(md5(m.syn_segment), 1, 15) AS BIGINT)
+           AS syn_segment_id,
+         k.segment AS key_segment, m.syn_segment
+  FROM keys_ok k JOIN meanings_long m USING (word)
+),
+segs AS (
+  SELECT DISTINCT segment_id, segment FROM (
+    SELECT segment_id, alias AS segment FROM ea
+    UNION ALL SELECT segment_id, key_segment FROM mrows
+    UNION ALL SELECT syn_segment_id, syn_segment FROM mrows
+  )
+)
+SELECT 'segment' AS kind, CAST(segment_id AS VARCHAR) AS a,
+       segment AS b, '' AS c
+FROM segs
+UNION ALL
+SELECT 'entity', entity_id, CAST(segment_id AS VARCHAR),
+       list_aggregate(tags, 'string_agg', ',')
+FROM ea
+UNION ALL
+SELECT DISTINCT 'meaning', CAST(segment_id AS VARCHAR),
+       CAST(meaning_id AS VARCHAR) || '#' || pos,
+       CAST(syn_segment_id AS VARCHAR)
+FROM mrows
+"""
+
+
+register("thesaurus_assembly", q_thesaurus_assembly, _thesaurus_sql())
+
+
+# ---------------------------------------------------------------------------
 # Streaming — deterministic micro-batch replay of the incremental
 # stats maintenance (streaming/incremental.py)
 # ---------------------------------------------------------------------------

@@ -234,3 +234,91 @@ def test_morph_lexicon_join_overrides_rules(spark):
     assert cands(without, "running", "Norm") == []
     plu = cands(without, "criterion", "Plu")
     assert "criteria" not in plu and "criterions" in plu
+
+
+def test_assemble_thesaurus_rules(spark):
+    """nb 1.3 assembly rules: support filter (1-6 words, frequent,
+    not all stopwords), entity keep-rule (>=2 aliases or one
+    multi-word), tag merge, Hyph meaning linking key variants, and
+    the output tables drive expansion.build_part1/2 directly."""
+    from efficient_query_expansion_spark.expansion import (
+        build_part1_candidates,
+        build_part2_candidates,
+    )
+    from efficient_query_expansion_spark.thesaurus import (
+        assemble_thesaurus,
+    )
+
+    good = spark.createDataFrame(
+        [(w,) for w in
+         ["big", "apple", "new", "york", "gotham", "empire", "state",
+          "word", "color", "colour", "hue", "tint"]],
+        "term string",
+    )
+    stop = spark.createDataFrame([("the",), ("of",)], "term string")
+    aliases = spark.createDataFrame(
+        [
+            ("e1", "big apple", ["WPTit"]),
+            ("e1", "new york", ["WPAli"]),
+            ("e1", "new york", ["WPRed"]),        # tag merge
+            ("e2", "gotham", ["WPTit"]),          # 1 single-word: drop
+            ("e3", "empire state", ["WPTit"]),    # 1 multi-word: keep
+            ("e4", "the of", ["WPTit"]),          # all-stopword: filtered
+            ("e4", "zzrare word", ["WPAli"]),     # infrequent: filtered
+        ],
+        "entity_id string, alias string, tags array<string>",
+    )
+    oo = spark.createDataFrame(
+        [
+            ("color", 0, "noun", ["hue", "zzbad"], ["color", "colour"],
+             [["hue"], ["zzbad"]]),
+            ("zzonly", 0, "noun", ["tint"], ["zzonly"], [["tint"]]),
+        ],
+        "word string, meaning_idx int, pos string,"
+        " synonyms array<string>, key_variants array<string>,"
+        " syn_variants array<array<string>>",
+    )
+
+    th = assemble_thesaurus([aliases], oo, good, stop)
+    segs = {r["segment"] for r in th["segments"].collect()}
+    assert {"big apple", "new york", "empire state", "color",
+            "colour", "hue"} <= segs
+    assert "gotham" not in segs and "the of" not in segs
+    assert "zzrare word" not in segs and "zzonly" not in segs
+
+    ea = th["entity_alias"].collect()
+    by_ent = {}
+    for r in ea:
+        by_ent.setdefault(r["entity_id"], []).append(r)
+    assert set(by_ent) == {"e1", "e3"}
+    ny = [r for r in by_ent["e1"]
+          if r["tags"] == ["WPAli", "WPRed"]]
+    assert len(ny) == 1  # merged provenance tags
+
+    m = th["meanings"].collect()
+    poss = {r["pos"] for r in m}
+    assert poss == {"noun", "Hyph"}
+    # 'zzonly' word dropped entirely (key failed support)
+    seg_by_id = {r["segment_id"]: r["segment"]
+                 for r in th["segments"].collect()}
+    assert "tint" not in {seg_by_id.get(r["syn_segment_id"]) for r in m}
+    # Hyph meaning links color <-> colour from BOTH keys
+    hyph = [(seg_by_id[r["segment_id"]], seg_by_id[r["syn_segment_id"]])
+            for r in m if r["pos"] == "Hyph"]
+    assert set(hyph) == {
+        ("color", "color"), ("color", "colour"),
+        ("colour", "color"), ("colour", "colour"),
+    }
+
+    # tables drive the expansion joins directly
+    p1 = build_part1_candidates(spark, th["segments"], th["meanings"])
+    cands = {(r["term"], r["cand"], r["kind"])
+             for r in p1.where(p1.term == "color").collect()}
+    assert ("color", "hue", "Syn") in cands
+    # reference quirk preserved: part1's synonym loop matches only
+    # the four POS tags (query_expansion_support.py:128,180), so the
+    # Hyph meaning exists in the table but never surfaces via part1
+    assert ("color", "colour", "Syn") not in cands
+    p2 = build_part2_candidates(th["segments"], th["entity_alias"])
+    c2 = {(r["term"], r["cand"]) for r in p2.collect()}
+    assert ("big apple", "new york") in c2
