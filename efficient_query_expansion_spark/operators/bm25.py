@@ -178,6 +178,16 @@ def sharded_topk(
     the single source of truth for the query CNFs (the synset-count
     and df columns are derived from it distributed — no driver-side
     query state).
+
+    Measured dead end, recorded so it isn't retried: clustering the
+    cached postings by term_id (repartitionByRange + sort) plus a
+    literal isin() term_id prefilter made local queries SLOWER
+    (extra range-shuffle at build, one extra driver job per query,
+    and InMemoryTableScan batch stats don't prune In-lists enough to
+    pay for it). On a parquet-backed index at cluster scale the same
+    layout IS the right call (row-group min/max pruning); the
+    write_index layout already sorts shards, and the in-memory serve
+    path stays scan+broadcast-join.
     """
     spark = queries_long.sparkSession
     if "meta_values" in index:
@@ -356,6 +366,9 @@ def sharded_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
-    return topk.join(
-        index["docs"].select(*doc_key, "doc_ordinal"), "doc_ordinal"
+    # ordinal → doc-key resolution: topk is ≤ k·|queries| rows but
+    # Spark can't infer that through the window, so without the hint
+    # this join shuffles the corpus-size docs table on every query
+    return index["docs"].select(*doc_key, "doc_ordinal").join(
+        F.broadcast(topk), "doc_ordinal"
     ).select("qid", *doc_key, "score", "rank")
