@@ -211,3 +211,53 @@ def redirect_frame(pages: DataFrame) -> DataFrame:
     return pages.where(F.col("redirect_title").isNotNull()).select(
         "page_id", "title", "redirect_title"
     )
+
+
+def normalized_entity_aliases(pages: DataFrame) -> DataFrame:
+    """nb 1.2 integration: per non-redirect page, merge its title,
+    its mined first-paragraph bold aliases, and the titles of
+    redirect pages pointing at it, then run the tagged alias-variant
+    normalization (``normalize_aliases_tagged_py``, the nb 1.2
+    cell-2 port) → (entity_id, alias, tags) rows ready for
+    :func:`thesaurus.assemble_thesaurus`. One groupBy on the
+    redirect target + one Arrow pass — the full dump → thesaurus
+    input chain with no driver-side state."""
+    from efficient_query_expansion_spark.functions.normalize import (
+        normalize_aliases_tagged_py,
+    )
+
+    al = bold_alias_frame(pages)
+    rd = redirect_frame(pages).select(
+        F.col("redirect_title").alias("title"),
+        F.col("title").alias("rtitle"),
+    )
+    rgrp = rd.groupBy("title").agg(
+        F.array_sort(F.collect_list("rtitle")).alias("redirs")
+    )
+    src = al.join(rgrp, "title", "left")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for pid, title, aliases, redirs in zip(
+                pdf["page_id"], pdf["title"], pdf["aliases"],
+                pdf["redirs"],
+            ):
+                tagged = normalize_aliases_tagged_py(
+                    {
+                        "name": [title],
+                        "alias": list(aliases),
+                        "redir": (
+                            list(redirs) if redirs is not None else []
+                        ),
+                    }
+                )
+                for alias, tags in tagged.items():
+                    rows.append((pid, alias, list(tags)))
+            yield pd.DataFrame(
+                rows, columns=["entity_id", "alias", "tags"]
+            )
+
+    return src.mapInPandas(
+        run, schema="entity_id string, alias string, tags array<string>"
+    )

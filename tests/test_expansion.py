@@ -322,3 +322,61 @@ def test_assemble_thesaurus_rules(spark):
     p2 = build_part2_candidates(th["segments"], th["entity_alias"])
     c2 = {(r["term"], r["cand"]) for r in p2.collect()}
     assert ("big apple", "new york") in c2
+
+
+def test_dump_to_expansion_lifecycle(spark, tmp_path):
+    """The full reference lifecycle in one chain: raw dump XML →
+    bold-mention mining + redirects (nb 1.1) → tagged alias
+    normalization (nb 1.2) → thesaurus assembly (nb 1.3) →
+    entity expansion (nb 2.0)."""
+    from efficient_query_expansion_spark.sources.wiki_markup import (
+        normalized_entity_aliases,
+        read_wiki_dump,
+    )
+    from efficient_query_expansion_spark.thesaurus import (
+        assemble_thesaurus,
+    )
+
+    dump = (
+        "<mediawiki>\n<page>\n<title>Apple Inc.</title>\n<id>1</id>\n"
+        "<revision><id>2</id><text xml:space=\"preserve\">"
+        "'''Apple''' (also '''Apple Computer''') is a company.\n"
+        "== History ==\n'''ignored''' text.</text></revision>\n</page>\n"
+        "<page>\n<title>AAPL</title>\n<id>7</id>\n"
+        "<redirect title=\"Apple Inc.\" />\n"
+        "<revision><id>8</id><text xml:space=\"preserve\" /></revision>\n"
+        "</page>\n</mediawiki>\n"
+    )
+    (tmp_path / "dump.xml").write_text(dump)
+    pages = read_wiki_dump(spark, str(tmp_path))
+    aliases = normalized_entity_aliases(pages)
+    got = {r["alias"]: list(r["tags"]) for r in aliases.collect()}
+    assert got == {
+        "apple inc": ["name"],
+        "apple": ["alias"],
+        "apple computer": ["alias"],
+        "aapl": ["redir"],
+    }
+
+    good = spark.createDataFrame(
+        [(w,) for w in ["apple", "inc", "computer", "aapl"]],
+        "term string",
+    )
+    stop = spark.createDataFrame([("the",)], "term string")
+    th = assemble_thesaurus([aliases], None, good, stop)
+    p2 = build_part2_candidates(th["segments"], th["entity_alias"])
+
+    base = spark.createDataFrame(
+        [(0, 0, 0, "aapl")],
+        "qid int, and_pos int, syn_pos int, term string",
+    )
+    out = expand(
+        base,
+        # no part1 thesaurus here — empty frame with the part1 shape
+        spark.createDataFrame(
+            [], "term string, cand string, pos string, kind string"
+        ),
+        p2,
+    )
+    cands = {r["term"] for r in out.collect()}
+    assert cands == {"apple inc", "apple", "apple computer"}
