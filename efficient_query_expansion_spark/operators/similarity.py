@@ -300,3 +300,81 @@ def banded_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Deterministic spherical k-means for IVF coarse centroids.
+
+    Lloyd iterations, cosine geometry (assignment = max cosine via
+    :func:`ivf_assign`; new centroid = unit-normalized mean of the
+    assigned vectors — spherical k-means, matching the cosine
+    assignment the IVF probe uses). Init = the ``k`` lowest-id
+    vectors (deterministic; ids are stable). Empty clusters keep
+    their previous centroid. Per iteration: one broadcast-centroid
+    assignment pass over the corpus + one explode-dimension groupBy
+    mean — the k×dims centroid model (NOT corpus data) round-trips
+    through the driver between iterations, exactly like any iterative
+    ML fit on Spark. Early-stops when every centroid moves < ``tol``
+    (L2). Returns (cid, cvec) ready for :func:`ivf_topk`.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    init = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [np.asarray(r[vec_col], dtype=np.float64) for r in init]
+    cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
+
+    def cents_df(cs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cs)],
+            "cid int, cvec array<double>",
+        )
+
+    for _ in range(max_iter):
+        cdf = cents_df(cents)
+        assign = ivf_assign(embeddings, cdf, id_col, vec_col)
+        dim_means = (
+            embeddings.join(assign, id_col)
+            .select(
+                "cid",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("i", "x"),
+            )
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in dim_means:
+            by_cid.setdefault(r["cid"], {})[r["i"]] = r["m"]
+        moved = 0.0
+        new_cents = []
+        for cid, prev in enumerate(cents):
+            if cid in by_cid:
+                m = np.array(
+                    [by_cid[cid][i] for i in range(len(prev))],
+                    dtype=np.float64,
+                )
+                n = np.linalg.norm(m)
+                c = m / n if n > 0 else prev
+            else:
+                c = prev  # empty cluster keeps its centroid
+            moved = max(moved, float(np.linalg.norm(c - prev)))
+            new_cents.append(c)
+        cents = new_cents
+        if moved < tol:
+            break
+    return cents_df(cents)

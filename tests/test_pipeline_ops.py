@@ -380,3 +380,81 @@ def test_duplicate_clusters_components(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_kmeans_fit_matches_numpy_oracle_and_improves_ivf(spark):
+    """Spherical Lloyd parity vs a numpy port (same deterministic
+    init, same empty-cluster rule), and trained centroids beat
+    arbitrary-row centroids on IVF recall over clustered data."""
+    from efficient_query_expansion_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    rng = np.random.RandomState(13)
+    dims, per = 6, 40
+    centers = rng.uniform(-1, 1, (4, dims)) * 3
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(per):
+            v = c + rng.normal(0, 0.3, dims)
+            rows.append((ci * per + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+    got = kmeans_fit(emb, k=4, max_iter=8)
+    got_c = {
+        r["cid"]: np.array(r["cvec"]) for r in got.collect()
+    }
+
+    # numpy oracle: identical algorithm
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    C = X[:4].copy()
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(8):
+        sims = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ C.T
+        a = np.argmax(sims, axis=1)  # ties → lowest cid, same as Spark
+        newC = C.copy()
+        moved = 0.0
+        for cid in range(4):
+            m = X[a == cid]
+            if len(m):
+                mu = m.mean(axis=0)
+                n = np.linalg.norm(mu)
+                if n > 0:
+                    newC[cid] = mu / n
+        moved = np.abs(newC - C).max()
+        C = newC
+        if np.linalg.norm(C - newC) < 1e-6 and moved < 1e-6:
+            break
+    for cid in range(4):
+        assert np.allclose(got_c[cid], C[cid], atol=1e-9), cid
+
+    # trained centroids: recall@5 at n_probe=1 beats arbitrary rows
+    queries = emb.limit(5).selectExpr(
+        "vec_id as qid", "embedding as qvec"
+    )
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], set()).add(r["vec_id"])
+        return out
+
+    truth = sets(brute_force_topk(emb, queries, k=5))
+
+    def recall(approx):
+        return sum(
+            len(approx.get(q, set()) & truth[q]) / len(truth[q])
+            for q in truth
+        ) / len(truth)
+
+    arbitrary = emb.limit(4).selectExpr(
+        "vec_id as cid", "embedding as cvec"
+    )
+    r_arb = recall(sets(ivf_topk(emb, queries, arbitrary, k=5, n_probe=1)))
+    r_fit = recall(sets(ivf_topk(emb, queries, got, k=5, n_probe=1)))
+    assert r_fit >= r_arb
+    assert r_fit >= 0.9  # clusters recovered → probe-1 recall ~1
