@@ -487,3 +487,71 @@ def test_w2v_parity(spark):
     for r in got:
         sums[(r["qid"], r["and_pos"], r["syn_pos"])] += r["context_prob"]
     assert all(s <= 1.0 + 1e-9 for s in sums.values())
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_w2v_structural_fuzz(spark, seed):
+    """Random CNF shapes + random vocab coverage (some OOV, some
+    multi-word, one zero vector) vs the w2v pyx-port oracle."""
+    import random
+
+    import numpy as np
+
+    from efficient_query_expansion_spark.features.featurizers import (
+        W2V_NAMES,
+        w2v_features,
+    )
+    from tests.feature_oracle import w2v_oracle
+
+    rng = random.Random(seed)
+    nprng = np.random.RandomState(seed)
+    vocab_words = [f"w{i}" for i in range(12)] + ["_two_words_"]
+    syn0 = {k: nprng.uniform(-1, 1, 4) for k in vocab_words}
+    syn1 = {k: nprng.uniform(-1, 1, 4) for k in vocab_words}
+    syn0["w11"] = np.zeros(4)
+    pool = [f"w{i}" for i in range(14)] + ["two words", "oov phrase x"]
+
+    base_repr, cand_repr = {}, {}
+    for qid in range(3):
+        sz = rng.randint(1, 4)
+        baq, caq = [], []
+        for _s in range(sz):
+            baq.append([(w,) for w in
+                        rng.sample(pool, rng.randint(1, 3))])
+            terms = {rng.choice(pool) for _ in range(rng.randint(0, 3))}
+            caq.append([(t,) for t in sorted(terms)])
+        base_repr[qid] = [baq]
+        cand_repr[qid] = [caq]
+
+    base_rows, cand_rows = [], []
+    for qid in base_repr:
+        for a, aq in enumerate(base_repr[qid]):
+            for s, synset in enumerate(aq):
+                for t in synset:
+                    base_rows.append((qid, a, s, t[0]))
+        for a, aq in enumerate(cand_repr[qid]):
+            for s, synset in enumerate(aq):
+                for t in synset:
+                    cand_rows.append((qid, a, s, t[0]))
+    if not cand_rows:
+        pytest.skip("degenerate draw")
+    vocab = spark.createDataFrame(
+        [
+            (k, [float(x) for x in syn0[k]], [float(x) for x in syn1[k]])
+            for k in vocab_words
+        ],
+        "term string, syn0 array<double>, syn1 array<double>",
+    )
+    base = spark.createDataFrame(
+        base_rows, "qid int, and_pos int, syn_pos int, term string"
+    )
+    cand = spark.createDataFrame(
+        cand_rows, "qid int, and_pos int, syn_pos int, term string"
+    )
+    got = w2v_features(cand, base, vocab).collect()
+    assert len(got) == len(cand_rows)
+    oracles = {
+        qid: w2v_oracle(base_repr[qid], cand_repr[qid], syn0, syn1)
+        for qid in base_repr
+    }
+    _check(got, W2V_NAMES, oracles)
