@@ -27,6 +27,13 @@ Deliberate deviations, all documented here:
 * the BeautifulSoup ``getText`` fallback for nested markup
   (cell 7 ``write_output``) uses bs4 when importable and a tag-strip
   regex otherwise (bs4 is not in this container).
+
+Declared verbatim reuse: the ``[START_MENTION_B*]`` marker strings,
+the heading/mention regexes (nb 1.1 cell 7), and wikiextractor's
+public bold/italic span regexes are reproduced exactly — they ARE
+the behavioral spec the golden oracle checks; everything around them
+(the distributed plan, the cleanup pipeline, the page scanner's
+regex-over-file form) is an independent construction.
 """
 
 from __future__ import annotations
