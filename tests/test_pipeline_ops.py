@@ -458,3 +458,100 @@ def test_kmeans_fit_matches_numpy_oracle_and_improves_ivf(spark):
     r_fit = recall(sets(ivf_topk(emb, queries, got, k=5, n_probe=1)))
     assert r_fit >= r_arb
     assert r_fit >= 0.9  # clusters recovered → probe-1 recall ~1
+
+
+def _make_wav(rate=8000, secs=0.05, freq=440.0):
+    import io
+    import wave
+
+    t = np.arange(int(rate * secs)) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 32000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+def _make_ppm(h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes(), px
+
+
+def _make_bmp24(px):
+    import struct
+
+    h, w = px.shape[:2]
+    row = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        line = px[r][:, ::-1].tobytes()  # RGB → BGR
+        body += line + b"\x00" * (row - len(line))
+    data_off = 54
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
+def test_real_media_decode_and_features(spark):
+    """Codec-free real decoding: WAV samples round-trip exactly, PPM
+    and BMP pixels match the source arrays, decoded features (RMS,
+    ZCR, luma, frame counts) match numpy, and compressed payloads
+    degrade to kind='undecodable' instead of failing the batch."""
+    from efficient_query_expansion_spark.operators.multimodal import (
+        decode_media,
+        extract_decoded_features,
+        resize_nearest,
+        sample_video_frames,
+    )
+
+    wav_bytes, samples = _make_wav()
+    d = decode_media(wav_bytes, "audio")
+    assert d["rate"] == 8000
+    assert np.allclose(d["samples"], samples / 32767.0, atol=1e-9)
+
+    ppm_bytes, px = _make_ppm(6, 5, seed=1)
+    assert np.array_equal(decode_media(ppm_bytes, "image")["pixels"], px)
+    bmp_bytes = _make_bmp24(px)
+    assert np.array_equal(decode_media(bmp_bytes, "image")["pixels"], px)
+
+    frames = [_make_ppm(4, 4, seed=s) for s in range(5)]
+    vid_bytes = b"PPMVID\x00\x00" + b"".join(b for b, _ in frames)
+    dv = decode_media(vid_bytes, "video")
+    assert len(dv["frames"]) == 5
+    assert np.array_equal(dv["frames"][2], frames[2][1])
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav_bytes)),
+            (2, bytearray(ppm_bytes)),
+            (3, bytearray(bmp_bytes)),
+            (4, bytearray(vid_bytes)),
+            (5, bytearray(b"\xff\xd8\xff compressed jpeg-ish")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in
+           extract_decoded_features(media).collect()}
+    assert got[1]["kind"] == "audio"
+    assert got[1]["duration_s"] == pytest.approx(0.05, abs=1e-9)
+    srm = samples / 32767.0
+    assert got[1]["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(srm * srm))), rel=1e-9
+    )
+    assert got[2]["kind"] == "image" and got[2]["width"] == 5
+    assert got[2]["mean_lum"] == pytest.approx(float(px.mean()), rel=1e-9)
+    assert got[3]["mean_lum"] == got[2]["mean_lum"]  # BMP == PPM pixels
+    assert got[4]["kind"] == "video" and got[4]["n_frames"] == 5
+    assert got[5]["kind"] == "undecodable" and got[5]["rms"] is None
+
+    thumbs = sample_video_frames(media, every_k=2, thumb=(2, 2)).collect()
+    assert [r["frame_idx"] for r in thumbs] == [0, 2, 4]
+    want = resize_nearest(frames[2][1], 2, 2).tobytes()
+    assert bytes(thumbs[1]["thumb_rgb"]) == want
