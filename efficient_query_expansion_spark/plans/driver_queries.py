@@ -1907,6 +1907,77 @@ register("f2_textual_features", q_textual_features, _textual_sql())
 
 
 # ---------------------------------------------------------------------------
+# Multimodal REAL decode — deterministic PCM WAV → decoded features
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+_WAV_N = 400
+
+
+def q_multimodal_wav(spark, sf_dir):
+    """REAL audio decode at the gate: deterministic sine WAVs (freq =
+    200 + 40·id Hz, int16 PCM, truncation toward zero on both sides)
+    decoded by the stdlib-wave path of
+    operators/multimodal.decode_media; DuckDB recomputes duration and
+    RMS from the same closed form. (ZCR is pytest-only: a 1-ulp sin()
+    difference at a zero crossing would flip a count.)"""
+    import io
+    import wave
+
+    import numpy as np
+
+    from efficient_query_expansion_spark.operators.multimodal import (
+        extract_decoded_features,
+    )
+
+    rows = []
+    for mid in range(8):
+        freq = 200.0 + 40.0 * mid
+        t = np.arange(_WAV_N, dtype=np.float64) / _WAV_RATE
+        s = np.trunc(np.sin(2 * np.pi * freq * t) * 32000.0).astype(
+            np.int16
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(_WAV_RATE)
+            w.writeframes(s.tobytes())
+        rows.append((mid, bytearray(buf.getvalue())))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = extract_decoded_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 5).alias("rms"),
+        "sample_rate",
+    )
+
+
+register(
+    "multimodal_wav_decode",
+    q_multimodal_wav,
+    f"""
+WITH ids AS (SELECT unnest(generate_series(0, 7)) AS media_id),
+samples AS (
+  SELECT media_id, i,
+         trunc(sin(2 * pi() * (200.0 + 40.0 * media_id) * i
+                   / {_WAV_RATE}.0) * 32000.0) / 32767.0 AS sn
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, {_WAV_N - 1})) AS i
+  ) g
+)
+SELECT media_id, 'audio' AS kind,
+       round({_WAV_N}.0 / {_WAV_RATE}.0, 6) AS duration_s,
+       round(sqrt(avg(sn * sn)), 5) AS rms,
+       {_WAV_RATE} AS sample_rate
+FROM samples GROUP BY media_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Thesaurus assembly (reference nb 1.3) — alias sources + OpenOffice
 # meanings → segments/meanings/entity_alias dimension tables
 # ---------------------------------------------------------------------------
