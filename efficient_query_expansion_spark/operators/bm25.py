@@ -39,8 +39,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from efficient_query_expansion_spark.operators.postings import (
     B,
+    CODECS,
     K1,
-    varbyte_decode,
     delta_decode,
 )
 
@@ -190,6 +190,7 @@ def sharded_topk(
     path stays scan+broadcast-join.
     """
     spark = queries_long.sparkSession
+    dec = CODECS[index.get("codec", "varbyte")][1]
     if "meta_values" in index:
         num_docs, avg_len = index["meta_values"]
     else:
@@ -231,7 +232,7 @@ def sharded_topk(
                 cnt = int(g["n"].iloc[0])
             else:
                 arrs = [
-                    delta_decode(varbyte_decode(bytes(x)))
+                    delta_decode(dec(bytes(x)))
                     for x in g["doc_gaps"]
                 ]
                 cnt = int(len(np.unique(np.concatenate(arrs))))
@@ -273,8 +274,8 @@ def sharded_topk(
         }
         qid = int(pdf["qid"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
-        ords = delta_decode(varbyte_decode(bytes(pdf["ords"].iloc[0])))
-        lens = varbyte_decode(bytes(pdf["lens"].iloc[0])).astype(np.float64)
+        ords = delta_decode(dec(bytes(pdf["ords"].iloc[0])))
+        lens = dec(bytes(pdf["lens"].iloc[0])).astype(np.float64)
         knorm = K1 * (1.0 - B + B * lens / avg_len)  # per doc-in-shard
 
         best: dict[int, float] = {}
@@ -306,10 +307,10 @@ def sharded_topk(
                 arrs, tfs_ = [], []
                 for _, row in sg.iterrows():
                     arrs.append(
-                        delta_decode(varbyte_decode(bytes(row["doc_gaps"])))
+                        delta_decode(dec(bytes(row["doc_gaps"])))
                     )
                     tfs_.append(
-                        varbyte_decode(bytes(row["tfs"])).astype(np.int64)
+                        dec(bytes(row["tfs"])).astype(np.int64)
                     )
                 d = np.concatenate(arrs)
                 t = np.concatenate(tfs_)

@@ -14,9 +14,10 @@ so the posting-list machinery here is built from scratch, Spark-first:
   doc shards, so no single reducer ever materializes more than
   ``shard_size`` postings — deterministic salting with an ordered
   merge for free. AQE skew-join handles the residual join skew.
-* **compression** — doc ordinals are delta(gap)-encoded then
-  varbyte-encoded (vectorized numpy, ~LEB128); term frequencies
-  varbyte-encoded alongside. Block-max metadata (per 128-posting
+* **compression** — doc ordinals are delta(gap)-encoded then coded
+  with a selectable codec: varbyte (vectorized numpy, ~LEB128) or
+  PForDelta-style per-block binary packing (``codec="pfor"``); term
+  frequencies are coded alongside with the same codec. Block-max metadata (per 128-posting
   block: last docID + max BM25 tf-part) enables block-skipping at
   query time (the block-max WAND idea of Ding & Suel, SIGIR'11).
 * **resumability** — each ``(term_id, shard)`` row is a pure function
@@ -96,6 +97,63 @@ def delta_encode(sorted_arr: np.ndarray) -> np.ndarray:
 
 def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# PForDelta-style block binary packing (the codec family the north
+# star names next to varbyte): per 128-value block, every value is
+# bit-packed at the block's max bit width. No exception patching
+# (NewPFD stores outliers separately) — gap encoding already keeps
+# outliers rare, and a whole-block width keeps decode branch-free;
+# documented simplification, not a claim of exact NewPFD.
+# ---------------------------------------------------------------------------
+
+def bitpack_encode(arr) -> bytes:
+    """[uint32 n] then per block: [uint8 width][ceil(cnt*w/8) bytes,
+    little-endian bit order]."""
+    import struct
+
+    a = np.ascontiguousarray(arr, dtype=np.uint64)
+    out = bytearray(struct.pack("<I", len(a)))
+    for start in range(0, len(a), BLOCK):
+        blk = a[start : start + BLOCK]
+        w = max(1, int(blk.max()).bit_length()) if blk.size else 1
+        out.append(w)
+        bits = (
+            (blk[:, None] >> np.arange(w, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.uint8)
+        out += np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    return bytes(out)
+
+
+def bitpack_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`bitpack_encode`."""
+    import struct
+
+    n_total = struct.unpack_from("<I", buf, 0)[0]
+    out = np.empty(n_total, dtype=np.uint64)
+    off, pos = 4, 0
+    while pos < n_total:
+        cnt = min(BLOCK, n_total - pos)
+        w = buf[off]
+        off += 1
+        nbytes = (cnt * w + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(buf, np.uint8, nbytes, off), bitorder="little"
+        )[: cnt * w].reshape(cnt, w).astype(np.uint64)
+        out[pos : pos + cnt] = (
+            bits << np.arange(w, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        pos += cnt
+        off += nbytes
+    return out
+
+
+CODECS = {
+    "varbyte": (varbyte_encode, varbyte_decode),
+    "pfor": (bitpack_encode, bitpack_decode),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +304,7 @@ def build_index(
     block: int = BLOCK,
     doc_key: list[str] = DOC_KEY,
     materialize_dir: str | None = None,
+    codec: str = "varbyte",
 ) -> dict[str, DataFrame]:
     """Full index build. Returns dict of DataFrames:
 
@@ -256,6 +315,11 @@ def build_index(
     - ``doclens``: (shard, ords binary, lens binary) — per-shard doc
       lengths for the scoring tf-part
     - ``meta``: (num_docs, avg_doc_len, total_terms)
+
+    ``codec`` selects the posting-blob encoding ("varbyte" or the
+    PForDelta-style "pfor" block bit-packing); the choice rides in
+    the returned dict (and the write manifest) so query plans pick
+    the matching decoder.
     """
     spark = transcripts.sparkSession
     toks = with_tokens(with_norm_text(transcripts))
@@ -298,6 +362,8 @@ def build_index(
 
     avg_len_f = float(avg_len)
 
+    enc = CODECS[codec][0]
+
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for (term_id, shard), g in pdf.groupby(["term_id", "shard"]):
@@ -322,8 +388,8 @@ def build_index(
                     int(term_id),
                     int(shard),
                     len(ords),
-                    varbyte_encode(delta_encode(ords)),
-                    varbyte_encode(tfs),
+                    enc(delta_encode(ords)),
+                    enc(tfs),
                     block_last,
                     block_max,
                 )
@@ -356,10 +422,10 @@ def build_index(
             out.append(
                 (
                     int(shard),
-                    varbyte_encode(
+                    enc(
                         delta_encode(g["doc_ordinal"].to_numpy(np.uint64))
                     ),
-                    varbyte_encode(g["doc_len"].to_numpy(np.uint64)),
+                    enc(g["doc_len"].to_numpy(np.uint64)),
                 )
             )
         return pd.DataFrame(out, columns=["shard", "ords", "lens"])
@@ -386,6 +452,7 @@ def build_index(
         "meta": meta_row,
         # driver-side cache so query plans skip the meta job
         "meta_values": (int(meta_vals["num_docs"]), float(avg_len)),
+        "codec": codec,
         "_toks": toks,
     }
 
@@ -440,6 +507,7 @@ def write_index(
             "builder": "efficient_query_expansion_spark",
             "block": BLOCK,
             "bm25": {"k1": K1, "b": B},
+            "codec": index.get("codec", "varbyte"),
             "shard_partitioned": shard_partitioned,
         },
     }
@@ -491,4 +559,12 @@ def read_index(spark, path: str) -> dict[str, DataFrame]:
     }
     m = out["meta"].collect()[0]
     out["meta_values"] = (int(m["num_docs"]), float(m["avg_doc_len"]))
+    mf = os.path.join(path, "manifest.json")
+    if os.path.exists(mf):
+        import json
+
+        with open(mf) as fh:
+            out["codec"] = json.load(fh)["lineage"].get(
+                "codec", "varbyte"
+            )
     return out

@@ -259,3 +259,75 @@ def test_index_roundtrip(spark, built_index, tmp_path_factory):
     idx2 = read_index(spark, path)
     assert idx2["postings"].count() == built_index["postings"].count()
     assert idx2["dictionary"].count() == built_index["dictionary"].count()
+
+
+def test_bitpack_codec_roundtrip_property():
+    """PForDelta-style block packing: exact roundtrip on random
+    uint64 arrays (hypothesis), plus the small-gap regime where it
+    beats varbyte's 1-byte-per-value floor."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from efficient_query_expansion_spark.operators.postings import (
+        bitpack_decode,
+        bitpack_encode,
+        varbyte_encode,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**63 - 1), max_size=400
+        )
+    )
+    def roundtrip(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(bitpack_decode(bitpack_encode(arr)), arr)
+
+    roundtrip()
+
+    gaps = np.ones(1000, dtype=np.uint64)  # dense postings: gap = 1
+    assert len(bitpack_encode(gaps)) < len(varbyte_encode(gaps))
+
+
+def test_pfor_index_rank_identity(spark, transcripts_tiny, built_index):
+    """A pfor-coded index must return bit-identical top-k (docIDs AND
+    scores) to the varbyte-coded index; the codec rides in the index
+    dict and the persisted manifest."""
+    import tempfile
+
+    from efficient_query_expansion_spark.operators.postings import (
+        read_index,
+        write_index,
+    )
+
+    pats = spark.createDataFrame(
+        [
+            (t[0],)
+            for r in QUERY_REPRS.values()
+            for aq in r
+            for syn in aq
+            for t in syn
+            if " " in t[0]
+        ],
+        "pattern string",
+    )
+    qlong = query_reprs_to_long_df(spark, QUERY_REPRS)
+    i_vb = built_index
+    i_pf = build_index(
+        transcripts_tiny, patterns=pats, shard_size=64, codec="pfor"
+    )
+
+    def rows(ix):
+        return sorted(
+            (r["qid"], r["conv_id"], r["turn_idx"], r["score"], r["rank"])
+            for r in sharded_topk(qlong, ix, k=10).collect()
+        )
+
+    assert rows(i_vb) == rows(i_pf)
+
+    d = tempfile.mkdtemp(prefix="eqx_pfor_")
+    write_index(i_pf, d)
+    i_rt = read_index(spark, d)
+    assert i_rt["codec"] == "pfor"
+    assert rows(i_rt) == rows(i_vb)
