@@ -313,10 +313,12 @@ def test_pfor_index_rank_identity(spark, transcripts_tiny, built_index):
         "pattern string",
     )
     qlong = query_reprs_to_long_df(spark, QUERY_REPRS)
-    i_vb = built_index
-    i_pf = build_index(
-        transcripts_tiny, patterns=pats, shard_size=64, codec="pfor"
+    # built_index uses the pfor default; pin varbyte explicitly so
+    # the two sides really exercise different codecs
+    i_vb = build_index(
+        transcripts_tiny, patterns=pats, shard_size=64, codec="varbyte"
     )
+    i_pf = built_index
 
     def rows(ix):
         return sorted(
