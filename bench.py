@@ -127,6 +127,14 @@ def run_queries(spark, index, timings: dict) -> None:
         BM25_QUERIES,
     )
 
+    # one untimed warm-up query: codegen/JIT + python-worker spin-up
+    # otherwise land entirely on the first timed query and p95 reports
+    # warm-up, not steady-state serving latency (the cold cost is
+    # visible in index_build_rounds[0] instead)
+    first = next(iter(BM25_QUERIES.items()))
+    sharded_topk(
+        query_reprs_to_long_df(spark, {first[0]: first[1]}), index, k=K
+    ).collect()
     lat = []
     for qid, repr_ in BM25_QUERIES.items():
         qlong = query_reprs_to_long_df(spark, {qid: repr_})

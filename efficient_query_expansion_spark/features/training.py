@@ -205,6 +205,11 @@ def fit_gbdt(
     if groups is not None:
         groups = np.asarray(groups, dtype=np.int64)
         assert int(groups.sum()) == len(y)
+    elif objective.startswith("rank:"):
+        # rank objectives REQUIRE group info (xgboost errors without
+        # it); default to one group on both the xgboost and numpy
+        # paths so behavior doesn't diverge by environment
+        groups = np.asarray([len(y)], dtype=np.int64)
     try:  # pragma: no cover - xgboost absent in this container
         import xgboost as xgb
 
@@ -225,8 +230,6 @@ def fit_gbdt(
     except ImportError:
         pass
     pairwise = objective.startswith("rank:")
-    if pairwise and groups is None:
-        groups = np.asarray([len(y)], dtype=np.int64)
     model = GBDTModel(
         eta=eta,
         base_score=0.0 if pairwise else float(y.mean()),

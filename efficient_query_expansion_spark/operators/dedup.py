@@ -221,11 +221,10 @@ def ngram_jaccard_pairs(
     verifying ``lsh_candidate_pairs`` output).
     """
     if max_shingle_df is not None:
-        hot = (
-            shingles.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("shingle_df"))
-            .where(F.col("shingle_df") > max_shingle_df)
-            .select("shingle")
+        # the cap drops exactly the keys the report names — one
+        # derivation, no drift between the two
+        hot = ngram_hot_shingles(shingles, max_shingle_df).select(
+            "shingle"
         )
         shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -293,12 +292,7 @@ def embedding_near_duplicates(
 
     b = sign_lsh_buckets(embeddings, hyperplanes, id_col, vec_col)
     if max_bucket_size is not None:
-        hot = (
-            b.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .where(F.col("bucket_n") > max_bucket_size)
-            .select("bucket")
-        )
+        hot = _oversized_buckets(b, max_bucket_size).select("bucket")
         b = b.join(F.broadcast(hot), "bucket", "left_anti")
     a = embeddings.join(b, id_col)
     left = a.select(
@@ -312,6 +306,17 @@ def embedding_near_duplicates(
         "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
     )
     return scored.where(F.col("cosine") >= F.lit(float(threshold)))
+
+
+def _oversized_buckets(buckets: DataFrame, max_size: int) -> DataFrame:
+    """(bucket, bucket_n) rows whose membership exceeds ``max_size``
+    — the single derivation shared by the join cap and the
+    dropped-mass report."""
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > max_size)
+    )
 
 
 def embedding_hot_buckets(
@@ -328,11 +333,7 @@ def embedding_hot_buckets(
     )
 
     b = sign_lsh_buckets(embeddings, hyperplanes, id_col, vec_col)
-    return (
-        b.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .where(F.col("bucket_n") > max_bucket_size)
-    )
+    return _oversized_buckets(b, max_bucket_size)
 
 
 def duplicate_clusters(
@@ -399,4 +400,13 @@ def duplicate_clusters(
         labels = updated.select("id", "label")
         if n_changed == 0:
             break
+    else:
+        # silent mis-clustering is worse than failing: a component
+        # with diameter > max_iterations would come back split into
+        # several cluster ids
+        raise ValueError(
+            f"duplicate_clusters did not converge within"
+            f" {max_iterations} rounds (component diameter exceeds"
+            f" the cap); raise max_iterations"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

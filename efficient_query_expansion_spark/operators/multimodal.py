@@ -73,11 +73,18 @@ def decode_media(payload: bytes, media_type: str):
             nch = w.getnchannels()
             width = w.getsampwidth()
             raw = w.readframes(w.getnframes())
-        dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
-        if dt is None:
+        if width == 1:
+            # WAV stores 8-bit PCM UNSIGNED with a 0x80 zero point
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                - 128.0
+            ) / 127.0
+        elif width in (2, 4):
+            dt = {2: np.int16, 4: np.int32}[width]
+            samples = np.frombuffer(raw, dtype=dt).astype(np.float64)
+            samples /= float(np.iinfo(dt).max)
+        else:
             raise NotImplementedError(f"{width*8}-bit WAV")
-        samples = np.frombuffer(raw, dtype=dt).astype(np.float64)
-        samples /= float(np.iinfo(dt).max)
         if nch > 1:
             samples = samples.reshape(-1, nch).mean(axis=1)
         return {"kind": "audio", "samples": samples, "rate": rate}
@@ -258,7 +265,11 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 try:
                     d = decode_media(b, "")
-                except NotImplementedError:
+                except Exception:
+                    # unknown magic AND corrupt/truncated payloads
+                    # whose magic matched (wave.Error, reshape
+                    # ValueError, struct.error, ...): a poison row
+                    # must degrade, not kill the batch job
                     rows.append(
                         (int(mid), "undecodable", None, None, None,
                          None, None, None, None, None)
@@ -284,13 +295,18 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                          int(px.shape[1]), int(px.shape[0]),
                          float(px.mean()), 1)
                     )
-                else:  # video
+                elif d["frames"]:  # video with >= 1 frame
                     f0 = d["frames"][0]
                     rows.append(
                         (int(mid), "video", None, None, None, None,
                          int(f0.shape[1]), int(f0.shape[0]),
                          float(np.mean([f.mean() for f in d["frames"]])),
                          len(d["frames"]))
+                    )
+                else:  # valid container, zero frames
+                    rows.append(
+                        (int(mid), "video", None, None, None, None,
+                         None, None, None, 0)
                     )
             yield pd.DataFrame(
                 rows,
@@ -323,8 +339,8 @@ def sample_video_frames(
                 b = bytes(payload)
                 try:
                     d = decode_media(b, "")
-                except NotImplementedError:
-                    continue
+                except Exception:
+                    continue  # poison payload: contribute no frames
                 if d["kind"] != "video":
                     continue
                 for fi, px in enumerate(d["frames"]):

@@ -555,3 +555,60 @@ def test_real_media_decode_and_features(spark):
     assert [r["frame_idx"] for r in thumbs] == [0, 2, 4]
     want = resize_nearest(frames[2][1], 2, 2).tobytes()
     assert bytes(thumbs[1]["thumb_rgb"]) == want
+
+
+def test_media_poison_payloads_degrade(spark):
+    """Corrupt payloads whose magic bytes match a supported format
+    (truncated P6/BMP, junk RIFF), zero-frame video containers, and
+    8-bit WAV silence must degrade gracefully — a poison row can
+    never kill the batch job."""
+    import io
+    import wave
+
+    from efficient_query_expansion_spark.operators.multimodal import (
+        extract_decoded_features,
+        sample_video_frames,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)           # 8-bit PCM is UNSIGNED, 0x80 zero
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 100)  # digital silence
+    rows = [
+        (1, bytearray(b"RIFF0000WAVEjunk not a real wave file")),
+        (2, bytearray(b"P6\n5 5\n255\n" + b"\x01" * 10)),  # truncated
+        (3, bytearray(b"BM" + b"\x00" * 10)),              # truncated
+        (4, bytearray(b"PPMVID\x00\x00")),                 # 0 frames
+        (5, bytearray(buf.getvalue())),                    # 8-bit WAV
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           extract_decoded_features(media).collect()}
+    assert got[1]["kind"] == "undecodable"
+    assert got[2]["kind"] == "undecodable"
+    assert got[3]["kind"] == "undecodable"
+    assert got[4]["kind"] == "video" and got[4]["n_frames"] == 0
+    assert got[5]["kind"] == "audio"
+    assert got[5]["rms"] == pytest.approx(0.0, abs=1e-9)  # silence
+    # frame sampling likewise skips poison rows instead of failing
+    assert sample_video_frames(media).count() == 0
+
+
+def test_duplicate_clusters_raises_when_unconverged(spark):
+    """A component whose diameter exceeds max_iterations must raise
+    (silent mis-clustering would keep several survivors of one
+    duplicate family); enough rounds converge it."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        duplicate_clusters(chain, max_iterations=5)
+    ok = {r["cluster_id"] for r in
+          duplicate_clusters(chain, max_iterations=30).collect()}
+    assert ok == {0}
