@@ -1122,7 +1122,9 @@ def q_text_langid(spark, sf_dir):
     return language_id(_docs_tokens(spark, sf_dir))
 
 
-def _langid_sql() -> str:
+def _langid_parts() -> tuple:
+    """(ratio exprs, lang CASE, greatest expr) — shared by the
+    standalone langid oracle and the curation-pipeline oracle."""
     from efficient_query_expansion_spark.operators.textstats import (
         LANG_STOPWORDS,
     )
@@ -1139,6 +1141,11 @@ def _langid_sql() -> str:
     case = "CASE " + " ".join(
         f"WHEN r_{m} = {g} AND {g} >= 0.04 THEN '{m}'" for m in langs
     ) + " ELSE 'und' END"
+    return ratios, case, g
+
+
+def _langid_sql() -> str:
+    ratios, case, g = _langid_parts()
     return f"""
 WITH tk AS (
   SELECT doc_id,
@@ -1151,6 +1158,84 @@ SELECT doc_id, {case} AS lang, round({g}, 6) AS lang_score FROM r
 
 
 register("text_langid", q_text_langid, _langid_sql())
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """Training-data curation composite — the 100-TB shape in one
+    declarative plan: language ID + quality gates + exact-dup drop
+    list (survivor = min doc_id), all broadcast/hash joins over one
+    tokenized scan. Output: the kept documents with their curation
+    features."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        exact_duplicates,
+    )
+    from efficient_query_expansion_spark.operators.textstats import (
+        language_id,
+        quality_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = _docs_tokens(spark, sf_dir)
+    lang = language_id(toks)
+    qual = quality_score(docs, toks)
+    drop = (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(exact_duplicates(docs), "content_hash")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    return (
+        lang.join(qual, "doc_id")
+        .join(drop, "doc_id", "left_anti")
+        .where(
+            (F.col("lang") == "en")
+            & (F.col("n_tokens") >= 5)
+            & (F.col("distinct_ratio") >= 0.3)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round("lang_score", 6).alias("lang_score"),
+            "n_tokens",
+            F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        )
+    )
+
+
+def _curation_sql() -> str:
+    ratios, case, g = _langid_parts()
+    return f"""
+WITH tk AS (
+  SELECT doc_id, text,
+         list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+r AS (SELECT doc_id, {', '.join(ratios)} FROM tk),
+lang AS (SELECT doc_id, {case} AS lang, round({g}, 6) AS lang_score
+         FROM r),
+qual AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS distinct_ratio
+  FROM tk
+),
+hashes AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+dups AS (
+  SELECT content_hash, min(doc_id) AS keep_id
+  FROM hashes GROUP BY content_hash HAVING count(*) > 1
+),
+dropd AS (
+  SELECT h.doc_id FROM hashes h JOIN dups d USING (content_hash)
+  WHERE h.doc_id <> d.keep_id
+)
+SELECT l.doc_id, l.lang, l.lang_score, q.n_tokens, q.distinct_ratio
+FROM lang l JOIN qual q USING (doc_id)
+WHERE l.doc_id NOT IN (SELECT doc_id FROM dropd)
+  AND l.lang = 'en' AND q.n_tokens >= 5 AND q.distinct_ratio >= 0.3
+"""
+
+
+register("curation_pipeline", q_curation_pipeline, _curation_sql())
 
 
 def q_text_quality(spark, sf_dir):
