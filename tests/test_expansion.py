@@ -380,3 +380,128 @@ def test_dump_to_expansion_lifecycle(spark, tmp_path):
     )
     cands = {r["term"] for r in out.collect()}
     assert cands == {"apple inc", "apple", "apple computer"}
+
+
+def _thesaurus_rules_oracle(aliases, oo_rows, good, stop):
+    """Pure-Python port of the nb 1.3 assembly rules (thesaurus.py):
+    support filter, tag-merge, entity keep-rule, Hyph meanings.
+    Returns (segments set, entity_alias dict, meanings set of
+    (key_seg, mkey, pos, syn_seg))."""
+
+    def supported(seg):
+        ws = seg.split(" ")
+        return (
+            seg != ""
+            and 1 <= len(ws) <= 6
+            and all(w in good for w in ws)
+            and not all(w in stop for w in ws)
+        )
+
+    merged = {}
+    for eid, alias, tags in aliases:
+        if supported(alias):
+            merged.setdefault((eid, alias), set()).update(tags)
+    by_ent = {}
+    for (eid, alias), tags in merged.items():
+        by_ent.setdefault(eid, {})[alias] = tuple(sorted(tags))
+    keep = {
+        eid: d
+        for eid, d in by_ent.items()
+        if len(d) >= 2 or (len(d) == 1 and " " in next(iter(d)))
+    }
+    ea = {
+        (eid, alias): tags
+        for eid, d in keep.items()
+        for alias, tags in d.items()
+    }
+    segments = {alias for _, alias in ea}
+
+    meanings = set()
+    for word, idx, pos, kvs, svs in oo_rows:
+        keys = sorted({k for k in kvs if supported(k)})
+        mns = []
+        for sv in [s for group in svs for s in group]:
+            if supported(sv):
+                mns.append((f"{word}#{pos}#{idx}", pos, sv))
+        if len(keys) > 1:
+            for k in keys:
+                mns.append((f"{word}#Hyph", "Hyph", k))
+        if not keys or not mns:
+            continue
+        for k in keys:
+            for mkey, p, sv in mns:
+                meanings.add((k, mkey, p, sv))
+                segments.add(k)
+                segments.add(sv)
+    return segments, ea, meanings
+
+
+@pytest.mark.parametrize("seed", [31, 47])
+def test_thesaurus_assembly_structural_fuzz(spark, seed):
+    """Random alias/meaning fixtures with mixed good/stop/unknown
+    words vs the pure-Python rules oracle (ids resolved back to
+    segment strings so the oracle needn't reimplement the hash)."""
+    import random
+
+    from efficient_query_expansion_spark.thesaurus import (
+        assemble_thesaurus,
+    )
+
+    rng = random.Random(seed)
+    good = {f"g{i}" for i in range(8)}
+    stop = {"s0", "s1"}
+    unknown = {"u0", "u1"}
+    vocab = sorted(good | stop | unknown)
+    good |= stop  # stopwords are frequent words too (realistic)
+
+    def rand_seg():
+        n = rng.randint(1, 3)
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    aliases = []
+    for e in range(8):
+        for _ in range(rng.randint(1, 4)):
+            aliases.append(
+                (f"e{e}", rand_seg(), (rng.choice(["A", "B"]),))
+            )
+    oo_rows = []
+    for w in range(5):
+        kvs = [rand_seg() for _ in range(rng.randint(1, 3))]
+        svs = [[rand_seg()] for _ in range(rng.randint(1, 3))]
+        oo_rows.append((f"w{w}", 0, rng.choice(["noun", "verb"]), kvs,
+                        svs))
+
+    adf = spark.createDataFrame(
+        [(e, a, list(t)) for e, a, t in aliases],
+        "entity_id string, alias string, tags array<string>",
+    )
+    odf = spark.createDataFrame(
+        [(w, i, p, [], kv, sv) for w, i, p, kv, sv in oo_rows],
+        "word string, meaning_idx int, pos string,"
+        " synonyms array<string>, key_variants array<string>,"
+        " syn_variants array<array<string>>",
+    )
+    gdf = spark.createDataFrame([(g,) for g in sorted(good)],
+                                "term string")
+    sdf = spark.createDataFrame([(s,) for s in sorted(stop)],
+                                "term string")
+
+    th = assemble_thesaurus([adf], odf, gdf, sdf)
+    want_segs, want_ea, want_m = _thesaurus_rules_oracle(
+        aliases, oo_rows, good, stop
+    )
+
+    seg_by_id = {r["segment_id"]: r["segment"]
+                 for r in th["segments"].collect()}
+    assert set(seg_by_id.values()) == want_segs
+    got_ea = {
+        (r["entity_id"], seg_by_id[r["segment_id"]]): tuple(r["tags"])
+        for r in th["entity_alias"].collect()
+    }
+    assert got_ea == want_ea
+    got_m = {
+        (seg_by_id[r["segment_id"]], r["pos"],
+         seg_by_id[r["syn_segment_id"]])
+        for r in th["meanings"].collect()
+    }
+    assert got_m == {(k, p, sv) for k, _mk, p, sv in want_m}
