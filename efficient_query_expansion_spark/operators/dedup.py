@@ -339,74 +339,109 @@ def embedding_hot_buckets(
 def duplicate_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b) → connected components:
     (doc id, cluster_id = min id of its component). Downstream keeps
     ``id == cluster_id`` as the survivor — the step that turns
     pairwise dedup output into an actual drop list.
 
-    Plan: iterative min-label propagation (each round every node
-    takes the min label over itself and its neighbors) — the standard
-    distributed CC; rounds needed = component diameter, and near-dup
-    components are small/star-shaped (a template cluster is a clique
-    → 1 round), so the loop converges in a handful of shuffles even
-    at corpus scale. Each round is one equi-join + groupBy on the
-    node id; labels are localCheckpointed to keep lineage flat. The
-    convergence check collects a single scalar per round (driver-side
-    single-row reads are the documented exception).
+    Plan: alternating large-star / small-star contraction (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds INDEPENDENT of component diameter,
+    replacing the round-3 min-label propagation whose round count was
+    the component diameter (a 100-node near-dup chain now finishes in
+    ~6 rounds instead of 100). Each round is two join+groupBy
+    shuffles over the shrinking edge set:
+
+    - large-star: every node points its LARGER neighbors at the
+      minimum of its closed neighborhood;
+    - small-star: every node and its smaller neighbors collapse onto
+      that minimum.
+
+    At the fixed point every edge is (node, component-min), i.e. the
+    components are stars. Convergence is detected by the edge-set
+    signature (count + sum of xxhash64(src,dst)) being unchanged
+    across a round — one extra confirming round past the fixed point,
+    two driver-side scalars per round (the documented exception).
+    The raise-on-cap safety net stays: exhausting ``max_iterations``
+    raises rather than silently returning a split component.
+
+    Pass a dict as ``stats`` to receive {"rounds": n} for
+    observability/tests.
     """
+    # canonical directed edges large→small; self-pairs dropped
     edges = (
         pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            F.greatest("id_a", "id_b").alias("src"),
+            F.least("id_a", "id_b").alias("dst"),
         )
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
-        )
+        .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
+
+    def _signature(e: DataFrame) -> tuple:
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("src", "dst").cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _signature(edges)
+    rounds = 0
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"),
-                    F.col("label").alias("nlabel"),
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("nlabel").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-                (
-                    F.coalesce("nmin", F.col("label")) < F.col("label")
-                ).alias("changed"),
+        # large-star over the symmetric view: for node u with
+        # closed-neighborhood min m, emit (v, m) for neighbors v > u
+        sym = edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-        updated = updated.localCheckpoint(eager=True)
-        n_changed = updated.where(F.col("changed")).count()
-        labels = updated.select("id", "label")
-        if n_changed == 0:
+        nmin = sym.groupBy("src").agg(F.min("dst").alias("nmin"))
+        m = F.least(F.col("src"), F.col("nmin"))
+        large = (
+            sym.join(nmin, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on large→small edges: u and all its smaller
+        # neighbors collapse onto min(N(u) ∪ {u}) = min(N(u))
+        snmin = large.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            large.join(snmin, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                snmin.select("src", F.col("m").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        rounds += 1
+        new_sig = _signature(edges)
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
-        # silent mis-clustering is worse than failing: a component
-        # with diameter > max_iterations would come back split into
-        # several cluster ids
+        # silent mis-clustering is worse than failing: an edge set
+        # still contracting at the cap would come back with one
+        # duplicate family split into several cluster ids
         raise ValueError(
             f"duplicate_clusters did not converge within"
-            f" {max_iterations} rounds (component diameter exceeds"
-            f" the cap); raise max_iterations"
+            f" {max_iterations} rounds; raise max_iterations"
         )
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixed point = stars: every non-root points straight at its
+    # component min; roots label themselves
+    return edges.select(
+        F.col("src").alias("id"), F.col("dst").alias("cluster_id")
+    ).unionByName(
+        edges.select(F.col("dst").alias("id"),
+                     F.col("dst").alias("cluster_id")).distinct()
+    )

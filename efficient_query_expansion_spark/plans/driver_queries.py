@@ -73,6 +73,15 @@ def register(name: str, fn, sql: str | None):
     REGISTRY[name] = (fn, sql)
 
 
+# The driver runs entries in registration order and the r3 run cut
+# off after 50; the file-format/source entries (historically the
+# least-covered) register FIRST so a truncated run still covers them.
+from efficient_query_expansion_spark.plans import source_queries as SQ  # noqa: E402
+
+for _name, (_fn, _sql) in SQ.ENTRIES.items():
+    register(_name, _fn, _sql)
+
+
 # ---------------------------------------------------------------------------
 # P1-P3 — canonical normalization
 # ---------------------------------------------------------------------------
@@ -102,10 +111,7 @@ def q_term_stats(spark, sf_dir):
     return S.term_stats(pos, doc_key=["doc_id"]).orderBy("term")
 
 
-register(
-    "a2_term_stats",
-    q_term_stats,
-    f"""
+_TERM_STATS_SQL = f"""
 WITH {_TOKS_CTE},
 per_doc AS (
   SELECT doc_id, term, count(*) AS tf_doc FROM toks GROUP BY 1, 2
@@ -114,6 +120,39 @@ SELECT term, CAST(count(*) AS BIGINT) AS df,
        CAST(sum(tf_doc) AS BIGINT) AS tf,
        CAST(sum(tf_doc * tf_doc) AS BIGINT) AS tf2
 FROM per_doc GROUP BY term ORDER BY term
+"""
+
+
+def q_term_stats_and_merge(spark, sf_dir):
+    """A1+A2 full-corpus term stats (tagged ``full``) unioned with
+    A6: two half-corpus partials merged via merge_term_stats (tagged
+    ``merged``) — stats correctness AND merge additivity in one gate
+    entry (both halves must hash-match the same oracle stats)."""
+    full = q_term_stats(spark, sf_dir).select(
+        F.lit("full").alias("src"), "term", "df", "tf", "tf2"
+    )
+    toks = _docs_tokens(spark, sf_dir)
+    lo = TK.token_positions(
+        toks.where(F.col("doc_id") % 2 == 0), doc_key=["doc_id"]
+    )
+    hi = TK.token_positions(
+        toks.where(F.col("doc_id") % 2 == 1), doc_key=["doc_id"]
+    )
+    merged = S.merge_term_stats(
+        S.term_stats(lo, doc_key=["doc_id"]),
+        S.term_stats(hi, doc_key=["doc_id"]),
+    ).select(F.lit("merged").alias("src"), "term", "df", "tf", "tf2")
+    return full.unionByName(merged)
+
+
+register(
+    "a2_a6_term_stats_merge",
+    q_term_stats_and_merge,
+    f"""
+WITH stats AS ({_TERM_STATS_SQL})
+SELECT 'full' AS src, t.* FROM stats t
+UNION ALL
+SELECT 'merged' AS src, t.* FROM stats t
 """,
 )
 
@@ -288,30 +327,6 @@ GROUP BY 1, 2
 )
 
 
-# ---------------------------------------------------------------------------
-# A6 — merge additivity
-# ---------------------------------------------------------------------------
-
-def q_merge(spark, sf_dir):
-    """A6: two half-corpus partial stats merged == full stats."""
-    toks = _docs_tokens(spark, sf_dir)
-    lo = TK.token_positions(
-        toks.where(F.col("doc_id") % 2 == 0), doc_key=["doc_id"]
-    )
-    hi = TK.token_positions(
-        toks.where(F.col("doc_id") % 2 == 1), doc_key=["doc_id"]
-    )
-    return S.merge_term_stats(
-        S.term_stats(lo, doc_key=["doc_id"]),
-        S.term_stats(hi, doc_key=["doc_id"]),
-    ).orderBy("term")
-
-
-register(
-    "a6_merge_partial_stats",
-    q_merge,
-    REGISTRY["a2_term_stats"][1],  # merged partials == full stats
-)
 
 
 # ---------------------------------------------------------------------------
@@ -1047,10 +1062,7 @@ def q_sim_lsh(spark, sf_dir):
     return sign_lsh_buckets(emb, planes)
 
 
-register(
-    "sim_lsh_buckets",
-    q_sim_lsh,
-    """
+_SIM_LSH_SQL = """
 WITH planes AS (SELECT vec_id AS hid, embedding AS hvec
                 FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
 elems AS (
@@ -1065,8 +1077,7 @@ bits AS (SELECT vec_id, hid,
          FROM dots)
 SELECT vec_id, string_agg(bit, '' ORDER BY hid) AS bucket
 FROM bits GROUP BY vec_id
-""",
-)
+"""
 
 
 def q_sim_banded_lsh(spark, sf_dir):
@@ -1086,10 +1097,23 @@ def q_sim_banded_lsh(spark, sf_dir):
                       "bucket")
 
 
+def q_sim_lsh_merged(spark, sf_dir):
+    """Single-table sign-LSH (tbl = -1) unioned with the banded
+    multi-table construction — one gate entry for both bucketing
+    stages of the ANN scale path."""
+    single = q_sim_lsh(spark, sf_dir).select(
+        "vec_id", F.lit(-1).alias("tbl"), "bucket"
+    )
+    return single.unionByName(q_sim_banded_lsh(spark, sf_dir))
+
+
 register(
-    "sim_banded_lsh_buckets",
-    q_sim_banded_lsh,
-    """
+    "sim_lsh_buckets",
+    q_sim_lsh_merged,
+    f"""
+SELECT vec_id, -1 AS tbl, bucket FROM ({_SIM_LSH_SQL}) t
+UNION ALL
+SELECT * FROM (
 WITH planes AS (SELECT vec_id AS hid, embedding AS hvec
                 FROM embeddings WHERE vec_id < 8),
 elems AS (
@@ -1106,6 +1130,7 @@ bits AS (SELECT vec_id, hid, tbl,
 SELECT vec_id, CAST(tbl AS INT) AS tbl,
        string_agg(bit, '' ORDER BY hid) AS bucket
 FROM bits GROUP BY vec_id, tbl
+) b
 """,
 )
 
@@ -1120,6 +1145,14 @@ def q_text_langid(spark, sf_dir):
     )
 
     return language_id(_docs_tokens(spark, sf_dir))
+
+
+def q_text_langid_quality(spark, sf_dir):
+    """Language-ID + quality-score per-doc frames joined on doc_id —
+    one gate entry for both text-analysis operators."""
+    return q_text_langid(spark, sf_dir).join(
+        q_text_quality(spark, sf_dir), "doc_id"
+    )
 
 
 def _langid_parts() -> tuple:
@@ -1157,7 +1190,13 @@ SELECT doc_id, {case} AS lang, round({g}, 6) AS lang_score FROM r
 """
 
 
-register("text_langid", q_text_langid, _langid_sql())
+def _langid_quality_sql() -> str:
+    return f"""
+SELECT l.*, q.n_tokens, q.distinct_ratio, q.stopword_ratio,
+       q.mean_token_len, q.punct_ratio
+FROM ({_langid_sql()}) l
+JOIN ({_quality_sql()}) q USING (doc_id)
+"""
 
 
 def q_curation_pipeline(spark, sf_dir):
@@ -1276,7 +1315,9 @@ FROM tk
 """
 
 
-register("text_quality", q_text_quality, _quality_sql())
+register(
+    "text_langid_quality", q_text_langid_quality, _langid_quality_sql()
+)
 
 
 def q_text_tokens(spark, sf_dir):
@@ -1287,10 +1328,7 @@ def q_text_tokens(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
-register(
-    "text_token_counts",
-    q_text_tokens,
-    """
+_TOKEN_COUNTS_SQL = """
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> ''))
          AS ws_tokens,
@@ -1298,8 +1336,7 @@ SELECT doc_id,
          AS bpe_tokens,
        length(text) AS n_chars
 FROM documents
-""",
-)
+"""
 
 
 def q_text_fingerprint(spark, sf_dir):
@@ -1310,10 +1347,15 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_docs_tokens(spark, sf_dir), k=4)
 
 
-register(
-    "text_fingerprint",
-    q_text_fingerprint,
-    f"""
+def q_text_tokens_fingerprint(spark, sf_dir):
+    """Token counting + document fingerprinting joined on doc_id —
+    one gate entry for both per-doc text operators."""
+    return q_text_tokens(spark, sf_dir).join(
+        q_text_fingerprint(spark, sf_dir), "doc_id"
+    )
+
+
+_FINGERPRINT_SQL = f"""
 WITH tk AS (
   SELECT doc_id,
          list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
@@ -1337,6 +1379,16 @@ SELECT t.doc_id,
          AS set_fingerprint,
        m.min_kgram_hash
 FROM tk t LEFT JOIN minh m ON m.doc_id = t.doc_id
+"""
+
+
+register(
+    "text_tokens_fingerprint",
+    q_text_tokens_fingerprint,
+    f"""
+SELECT c.*, f.set_fingerprint, f.min_kgram_hash
+FROM ({_TOKEN_COUNTS_SQL}) c
+JOIN ({_FINGERPRINT_SQL}) f USING (doc_id)
 """,
 )
 
@@ -1610,37 +1662,36 @@ FROM documents""")
     return " UNION ALL ".join(sel)
 
 
-register("query_performance_recall", q_query_performance,
-         _query_performance_sql())
-
-
 def q_eet_metrics(spark, sf_dir):
-    """F7: recall + EET(step=200, ratio=1) over the QueryPerformance
-    fixture with deterministic exe_time = 70*qid seconds (spans both
-    the step plateau and the exp-decay regime; nb 2.1 cells 7-8)."""
+    """F7 + QueryPerformance merged gate entry: num_ret/num_rel/
+    num_rel_ret/recall (index_cache.py:10-17 contract) plus
+    EET(step=200, ratio=1) with deterministic exe_time = 70*qid
+    seconds (spans both the step plateau and the exp-decay regime;
+    nb 2.1 cells 7-8)."""
     from efficient_query_expansion_spark.operators.metrics import eet_col
 
     perf = q_query_performance(spark, sf_dir)
     et = (F.col("qid") * 70.0).cast("double")
     return perf.select(
-        "qid", "recall",
+        "qid", "num_ret", "num_rel", "num_rel_ret", "recall",
         et.alias("exe_time"),
         F.round(eet_col(F.col("recall"), et, 200.0, 1.0), 5).alias("eet"),
     )
 
 
 register(
-    "f7_eet_metrics",
+    "f7_eet_recall_metrics",
     q_eet_metrics,
     f"""
 WITH perf AS ({_query_performance_sql()}),
 x AS (
-  SELECT qid, recall, CAST(qid * 70.0 AS DOUBLE) AS exe_time,
+  SELECT qid, num_ret, num_rel, num_rel_ret, recall,
+         CAST(qid * 70.0 AS DOUBLE) AS exe_time,
          CASE WHEN qid * 70.0 <= 200.0 THEN 1.0
               ELSE exp(-0.01 * (qid * 70.0 - 200.0)) END AS eff
   FROM perf
 )
-SELECT qid, recall, exe_time,
+SELECT qid, num_ret, num_rel, num_rel_ret, recall, exe_time,
        round(recall * eff /
              (CASE WHEN 0.5 * eff + 0.5 * recall <> 0
                    THEN 0.5 * eff + 0.5 * recall ELSE 1.0 END), 5)
@@ -2335,11 +2386,3 @@ register(
 )
 
 
-# ---------------------------------------------------------------------------
-# S2-S4/S8/S9 file-format sources + P6 alias variants
-# ---------------------------------------------------------------------------
-
-from efficient_query_expansion_spark.plans import source_queries as SQ  # noqa: E402
-
-for _name, (_fn, _sql) in SQ.ENTRIES.items():
-    register(_name, _fn, _sql)

@@ -1,5 +1,6 @@
 """Driver-gate entries for the file-format sources (SURVEY §2.1
-S2-S4, S8, S9) and alias-variant expansion (P6).
+S2-S4, S8, S9, S13) and alias-variant expansion (P6) + namespace
+filter (P7).
 
 Each parser entry renders a fixture file FROM a testdata table
 (documents/part) into a temp directory, parses it back through the
@@ -8,6 +9,13 @@ expressions over the same table — gating the full render→parse
 round-trip. S9 and P6 use inline fixtures with hand-frozen golden
 VALUES (derivations hand-checked against reference nb 1.3 cell 18 /
 normalize_text.py:62-133).
+
+Round-4 gate restructure: the driver's CORRECTNESS_r03 run stopped
+after exactly 50 entries (registration order), leaving 7 of 57
+unchecked. To guarantee full driver coverage the related trivial
+entries are merged pairwise (s2+s3, s8+s9, p6+p7 — identical or
+union-compatible schemas, oracle coverage unchanged) and this module
+registers FIRST, so the historically-unchecked entries lead the run.
 """
 
 from __future__ import annotations
@@ -207,14 +215,55 @@ SELECT * FROM (VALUES
 """
 
 
-ENTRIES = {
-    "s2_custom_blocks": (q_s2_custom_parse, S2_SQL),
-    "s3_wiki_blocks": (q_s3_wiki_parse, S3_SQL),
-    "s4_sphinx_blocks": (q_s4_sphinx_parse, S4_SQL),
-    "s8_alias_tsv_roundtrip": (q_s8_alias_tsv, S8_SQL),
-    "s9_openoffice_thesaurus": (q_s9_openoffice, S9_SQL),
-    "p6_alias_variants": (q_p6_alias_variants, P6_SQL),
-}
+def q_s2_s3_blocks(spark, sf_dir):
+    """S2+S3 merged gate entry: both line-block round-trips produce
+    the same Doc triple schema; union with a ``fmt`` tag."""
+    a = q_s2_custom_parse(spark, sf_dir).select(
+        F.lit("custom").alias("fmt"), "doc_id", "title", "content"
+    )
+    b = q_s3_wiki_parse(spark, sf_dir).select(
+        F.lit("wiki").alias("fmt"), "doc_id", "title", "content"
+    )
+    return a.unionByName(b)
+
+
+S2_S3_SQL = f"""
+SELECT 'custom' AS fmt, t.* FROM ({S2_SQL}) t
+UNION ALL
+SELECT 'wiki' AS fmt, t.* FROM ({S3_SQL}) t
+"""
+
+
+def q_s8_s9_thesaurus_io(spark, sf_dir):
+    """S8+S9 merged gate entry: gzip alias-TSV round-trip and
+    OpenOffice thesaurus parse, normalized to a common
+    (src, key, idx, tag, vals) shape."""
+    tsv = q_s8_alias_tsv(spark, sf_dir).select(
+        F.lit("tsv").alias("src"),
+        F.col("page_id").alias("key"),
+        F.lit(0).alias("idx"),
+        F.col("title").alias("tag"),
+        F.col("aliases").alias("vals"),
+    )
+    oo = q_s9_openoffice(spark, sf_dir).select(
+        F.lit("oo").alias("src"),
+        F.col("word").alias("key"),
+        F.col("meaning_idx").alias("idx"),
+        F.col("pos").alias("tag"),
+        F.col("synonyms").alias("vals"),
+    )
+    return tsv.unionByName(oo)
+
+
+S8_S9_SQL = f"""
+SELECT 'tsv' AS src, page_id AS key, 0 AS idx, title AS tag,
+       aliases AS vals
+FROM ({S8_SQL}) t
+UNION ALL
+SELECT 'oo' AS src, word AS key, meaning_idx AS idx, pos AS tag,
+       synonyms AS vals
+FROM ({S9_SQL}) t
+"""
 
 
 _WIKIDATA_FIXTURE = "\n".join([
@@ -248,7 +297,6 @@ SELECT * FROM (VALUES
 ) AS t(entity_id, label, aliases)
 """
 
-ENTRIES["s7_wikidata_aliases"] = (q_s7_wikidata, S7_SQL)
 
 
 _P7_TITLES = [
@@ -276,7 +324,29 @@ SELECT title FROM (VALUES
 WHERE NOT regexp_matches(title, '^[A-Za-z]+:')
 """
 
-ENTRIES["p7_namespace_filter"] = (q_p7_namespace_filter, P7_SQL)
+def q_p6_p7_variants(spark, sf_dir):
+    """P6+P7 merged gate entry: alias-variant expansion rows and the
+    namespace title filter, normalized to (src, key, value)."""
+    p6 = q_p6_alias_variants(spark, sf_dir).select(
+        F.lit("p6").alias("src"),
+        F.col("gid").cast("string").alias("key"),
+        F.col("alias").alias("value"),
+    )
+    p7 = q_p7_namespace_filter(spark, sf_dir).select(
+        F.lit("p7").alias("src"),
+        F.col("title").alias("key"),
+        F.col("title").alias("value"),
+    )
+    return p6.unionByName(p7)
+
+
+P6_P7_SQL = f"""
+SELECT 'p6' AS src, CAST(gid AS VARCHAR) AS key, alias AS value
+FROM ({P6_SQL}) t
+UNION ALL
+SELECT 'p7' AS src, title AS key, title AS value
+FROM ({P7_SQL}) t
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -373,4 +443,14 @@ SELECT * FROM (VALUES
 ) AS t(page_id, title, kind, value)
 """
 
-ENTRIES["s13_wiki_bold_aliases"] = (q_wiki_bold_aliases, S13_SQL)
+# Registration order is the driver's execution order (driver_queries
+# registers these FIRST): lead with the entries the r2/r3 driver runs
+# never or least recently covered.
+ENTRIES = {
+    "s13_wiki_bold_aliases": (q_wiki_bold_aliases, S13_SQL),
+    "s4_sphinx_blocks": (q_s4_sphinx_parse, S4_SQL),
+    "s7_wikidata_aliases": (q_s7_wikidata, S7_SQL),
+    "s8_s9_thesaurus_io": (q_s8_s9_thesaurus_io, S8_S9_SQL),
+    "p6_p7_alias_variants": (q_p6_p7_variants, P6_P7_SQL),
+    "s2_s3_block_parsers": (q_s2_s3_blocks, S2_S3_SQL),
+}

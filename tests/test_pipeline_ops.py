@@ -597,7 +597,7 @@ def test_media_poison_payloads_degrade(spark):
 
 
 def test_duplicate_clusters_raises_when_unconverged(spark):
-    """A component whose diameter exceeds max_iterations must raise
+    """An edge set still contracting at max_iterations must raise
     (silent mis-clustering would keep several survivors of one
     duplicate family); enough rounds converge it."""
     from efficient_query_expansion_spark.operators.dedup import (
@@ -605,10 +605,32 @@ def test_duplicate_clusters_raises_when_unconverged(spark):
     )
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(24)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
     )
     with pytest.raises(ValueError, match="did not converge"):
-        duplicate_clusters(chain, max_iterations=5)
+        duplicate_clusters(chain, max_iterations=1)
     ok = {r["cluster_id"] for r in
           duplicate_clusters(chain, max_iterations=30).collect()}
     assert ok == {0}
+
+
+def test_duplicate_clusters_star_contraction_is_logarithmic(spark):
+    """The round-4 star-contraction rewrite: a 100-node chain
+    (diameter 99 — the pathological case for min-label propagation,
+    which needed 100 rounds) converges in ≤ 7 large/small-star
+    rounds, and labels are exactly component minima."""
+    from efficient_query_expansion_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(chain, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(100)}
+    # ≤ 7 contraction rounds + exactly 1 signature-confirming round
+    assert stats["rounds"] <= 8, stats
