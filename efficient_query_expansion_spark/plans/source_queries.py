@@ -415,7 +415,9 @@ def q_wiki_bold_aliases(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="eqx_s13_")
     with open(os.path.join(tmp, "part1.xml"), "w") as f:
         f.write(WIKI_DUMP_FIXTURE)
-    pages = read_wiki_dump(spark, tmp)
+    # split_size drives the round-4 byte-range splitter (an unsplit
+    # dump file parallelized across >1 range) through the gate
+    pages = read_wiki_dump(spark, tmp, split_size=600)
     al = bold_alias_frame(pages).select(
         "page_id",
         "title",

@@ -139,7 +139,11 @@ def extract_bold_aliases(title: str, text: str) -> list[str]:
     body = html.unescape(body)
     body = _COMMENT_RE.sub("", body)
     body = _REF_RE.sub("", body)
-    for _ in range(3):  # nested templates, innermost-out
+    # nested templates, innermost-out: iterate until a pass removes
+    # nothing (a fixed small round count left 4+-deep nests leaking
+    # literal {{...}} into aliases); the cap only guards degenerate
+    # unbalanced-brace inputs
+    for _ in range(64):
         body, n = _TEMPLATE_RE.subn("", body)
         if not n:
             break
@@ -165,18 +169,123 @@ def extract_bold_aliases(title: str, text: str) -> list[str]:
     return sorted(matches)
 
 
-def read_wiki_dump(spark: SparkSession, paths) -> DataFrame:
-    """Dump part-files → page rows. Files are the parallel unit
-    (pre-split dump, nb 1.0); ``.gz`` parts decompress inline."""
-    files = spark.read.format("binaryFile").load(paths).select(
-        "path", "content"
-    )
+def _open_for_range(path: str):
+    """Seekable binary reader for a ``binaryFile``-style URI: plain
+    ``open`` for ``file:`` / bare paths, ``pyarrow.fs`` for anything
+    with a real scheme (hdfs://, s3://, ...) so byte-range splits
+    work against distributed storage too."""
+    from urllib.parse import urlparse
 
-    def run(batches):
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return open(parsed.path or path, "rb")
+    from pyarrow import fs as pafs
+
+    filesystem, rel = pafs.FileSystem.from_uri(path)
+    return filesystem.open_input_file(rel)
+
+
+_RANGE_CHUNK = 4 << 20
+
+
+def _read_page_region(path: str, start: int, end: int) -> str:
+    """Read the dump bytes owned by split [start, end): every page
+    whose ``<page>`` open tag begins at an absolute offset in
+    [start, end), overscanning past ``end`` until that last page's
+    ``</page>`` closes (the Hadoop record-reader boundary rule). A
+    page straddling ``start`` is left to the previous split — its
+    open tag is outside this buffer, so the page regex skips the
+    dangling tail naturally."""
+    with _open_for_range(path) as f:
+        f.seek(start)
+        # +5 lookahead: a "<page>" tag STARTING at end-1..end-5 is
+        # owned by this split and must be fully visible to rfind
+        data = f.read(end - start + len(b"<page>") - 1)
+        # does the last in-range <page> have its </page> yet?
+        while True:
+            last_open = data.rfind(b"<page>")
+            if (
+                last_open < 0
+                or start + last_open >= end
+                or data.find(b"</page>", last_open) >= 0
+            ):
+                break
+            more = f.read(_RANGE_CHUNK)
+            if not more:
+                break
+            data += more
+    # drop complete pages whose open tag is past `end` (arrived via
+    # overscan; they belong to the next split)
+    cut = end - start
+    while True:
+        last_open = data.rfind(b"<page>")
+        if last_open < 0 or last_open < cut:
+            break
+        data = data[:last_open]
+    return data.decode("utf-8", errors="replace")
+
+
+def read_wiki_dump(
+    spark: SparkSession, paths, split_size: int | None = None
+) -> DataFrame:
+    """Dump part-files → page rows.
+
+    Default (``split_size=None``): files are the parallel unit — the
+    pre-split dump shape of reference nb 1.0 (S6). Pass ``split_size``
+    to byte-range-split large UNSPLIT dump files instead: each file is
+    planned into ``ceil(size/split_size)`` ranges aligned to
+    ``<page>`` boundaries executor-side, so a single multi-GB dump
+    file parallelizes across the cluster without pre-splitting.
+    ``.gz`` parts are not byte-splittable (stream codec) and always
+    fall back to one whole-file range; at 100-TB scale store dumps
+    uncompressed or in a splittable codec. The split plan is a
+    metadata-only listing (path, length) — no content moves through
+    the driver."""
+    files = spark.read.format("binaryFile").load(paths)
+
+    if split_size is None:
+        src = files.select("path", "content")
+
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    text = _maybe_gunzip(path, bytes(content))
+                    rows.extend(parse_dump_pages(text))
+                cols = [
+                    "page_id", "rev_id", "title", "redirect_title", "text",
+                ]
+                yield (
+                    pd.DataFrame(rows, columns=cols)
+                    if rows
+                    else pd.DataFrame({c: [] for c in cols})
+                )
+
+        return src.mapInPandas(run, schema=PAGE_SCHEMA)
+
+    meta = files.select("path", "length").collect()
+    splits = []
+    for r in meta:
+        if r["path"].endswith(".gz"):
+            splits.append((r["path"], 0, int(r["length"])))
+            continue
+        for s in range(0, int(r["length"]), split_size):
+            splits.append(
+                (r["path"], s, min(s + split_size, int(r["length"])))
+            )
+    plan = spark.createDataFrame(
+        splits, "path string, start long, end long"
+    ).repartition(max(1, len(splits)))
+
+    def run_ranges(batches):
         for pdf in batches:
             rows = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                text = _maybe_gunzip(path, bytes(content))
+            for path, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                if path.endswith(".gz"):
+                    with _open_for_range(path) as f:
+                        text = _maybe_gunzip(path, f.read())
+                else:
+                    text = _read_page_region(path, int(s), int(e))
                 rows.extend(parse_dump_pages(text))
             cols = ["page_id", "rev_id", "title", "redirect_title", "text"]
             yield (
@@ -185,7 +294,7 @@ def read_wiki_dump(spark: SparkSession, paths) -> DataFrame:
                 else pd.DataFrame({c: [] for c in cols})
             )
 
-    return files.mapInPandas(run, schema=PAGE_SCHEMA)
+    return plan.mapInPandas(run_ranges, schema=PAGE_SCHEMA)
 
 
 def bold_alias_frame(pages: DataFrame) -> DataFrame:

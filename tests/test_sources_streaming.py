@@ -311,3 +311,58 @@ def test_wiki_bold_alias_miner(spark, tmp_path):
     assert [(r["page_id"], r["title"], r["redirect_title"]) for r in rd] == [
         ("2", "Beta", "Alpha & Co")
     ]
+
+
+def test_wiki_dump_byte_range_splitting(spark, tmp_path):
+    """One concatenated (unsplit) dump file, byte-range split into
+    >1 task, parses to exactly the same page set as the whole-file
+    path — every page lands in exactly one split regardless of where
+    the range boundaries fall relative to <page> tags."""
+    from efficient_query_expansion_spark.sources.wiki_markup import (
+        read_wiki_dump,
+    )
+
+    pages = []
+    for i in range(60):
+        body = f"'''alias {i}''' body " + ("x" * (37 * (i % 7)))
+        pages.append(
+            f"<page>\n<title>Page {i}</title>\n<id>{i}</id>\n"
+            f"<revision><id>{1000 + i}</id>"
+            f'<text xml:space="preserve">{body}</text></revision>\n'
+            f"</page>\n"
+        )
+    dump = "<mediawiki>\n" + "".join(pages) + "</mediawiki>\n"
+    f = tmp_path / "bigdump.xml"
+    f.write_text(dump)
+
+    whole = read_wiki_dump(spark, str(tmp_path))
+    want = sorted(
+        (r["page_id"], r["title"], r["text"]) for r in whole.collect()
+    )
+    assert len(want) == 60
+
+    # split every ~700 bytes → dozens of ranges, boundaries land
+    # mid-page, mid-tag, and between pages
+    split = read_wiki_dump(spark, str(tmp_path), split_size=700)
+    assert split.rdd.getNumPartitions() > 1
+    got = sorted(
+        (r["page_id"], r["title"], r["text"]) for r in split.collect()
+    )
+    assert got == want
+
+    # degenerate range sizes still lose nothing
+    for sz in (64, 123, 5000):
+        n = read_wiki_dump(spark, str(tmp_path), split_size=sz).count()
+        assert n == 60, f"split_size={sz} lost pages"
+
+
+def test_template_nesting_beyond_three_levels(spark):
+    """ADVICE r3: templates nested 4+ deep must not leak literal
+    {{...}} text into extracted aliases."""
+    from efficient_query_expansion_spark.sources.wiki_markup import (
+        extract_bold_aliases,
+    )
+
+    deep = "{{a|{{b|{{c|{{d|{{e|x}}}}}}}}}}"
+    got = extract_bold_aliases("T", deep + " '''kept''' tail")
+    assert got == ["kept"]
