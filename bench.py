@@ -152,6 +152,29 @@ def run_queries(spark, index, timings: dict) -> None:
     sharded_topk(qlong, index, k=K).collect()
     timings["bm25_query_batch"] = round(time.time() - t0, 3)
 
+    # 32-query batch: per-query marginal cost once the fixed
+    # driver/job overhead amortizes — the serving-throughput datum
+    # (single-query latency is ~all fixed overhead; see CLAUDE.md).
+    # Queries are the reference set plus CNF-shape variants (synset
+    # drops / single-and_query slices) over the same vocabulary.
+    batch = {}
+    base = list(BM25_QUERIES.values())
+    for i in range(32):
+        repr_ = base[i % len(base)]
+        v = (i // len(base)) % 3
+        if v == 1:
+            repr_ = [aq[: max(1, len(aq) - 1)] for aq in repr_]
+        elif v == 2:
+            repr_ = repr_[:1]
+        batch[100 + i] = repr_
+    qlong32 = query_reprs_to_long_df(spark, batch)
+    t0 = time.time()
+    n32 = sharded_topk(qlong32, index, k=K).count()
+    dt = time.time() - t0
+    timings["bm25_query_batch32"] = round(dt, 3)
+    timings["bm25_batch32_per_query"] = round(dt / 32, 3)
+    assert n32 > 0
+
 
 def run_stats(spark, timings: dict) -> None:
     from efficient_query_expansion_spark.operators.stats import pair_stats
@@ -219,10 +242,13 @@ def run_ann(spark, timings: dict) -> dict:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     base = emb.where(~F.col("vec_id").isin(qids))
-    centroids = base.limit(16).select(
+    # orderBy before limit: Spark's limit without ordering is not
+    # deterministic across runs/partitionings, and the published
+    # recall curve must reproduce
+    centroids = base.orderBy("vec_id").limit(16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    planes = base.limit(8).select(
+    planes = base.orderBy("vec_id").limit(8).select(
         F.col("vec_id").alias("hid"), F.col("embedding").alias("hvec")
     )
 
@@ -272,7 +298,7 @@ def run_ann(spark, timings: dict) -> dict:
     n_base = base.count()
     for b, g in ((2, 4), (3, 8)):
         planes_bg = (
-            base.limit(b * g)
+            base.orderBy("vec_id").limit(b * g)
             .withColumn(
                 "hid",
                 F.row_number().over(
@@ -289,6 +315,253 @@ def run_ann(spark, timings: dict) -> dict:
         timings[f"ann_banded_lsh_b{b}x{g}"] = round(time.time() - t0, 3)
         out[f"banded_lsh_recall_at_10_b{b}x{g}"] = recall(banded)
     out["ann_corpus_size"] = n_base
+    return out
+
+
+def run_lifecycle(spark, index, timings: dict) -> dict:
+    """End-to-end lifecycle composite at corpus scale: synthetic wiki
+    dump rendered FROM the sf documents table → byte-range-split dump
+    read → bold-alias mining + redirects (nb 1.1) → tagged alias
+    normalization (nb 1.2) → thesaurus assembly (nb 1.3) → query
+    preprocessing + entity expansion (nb 2.0) → collection-stats
+    featurization + greedy selection (nb 2.1) → expanded-CNF BM25
+    top-k against the compressed sharded index. One number for the
+    whole dump→retrieval chain (median-of-N), per-stage breakdown for
+    the bottleneck story. Intermediates go to parquet (not cached
+    token arrays — CLAUDE.md GC tax)."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from efficient_query_expansion_spark.expansion import (
+        GreedySegmenter,
+        build_part2_candidates,
+        expand,
+        preprocess_queries,
+    )
+    from efficient_query_expansion_spark.features.cooc_featurizers import (
+        custom_features,
+    )
+    from efficient_query_expansion_spark.features.pipeline import (
+        greedy_select,
+    )
+    from efficient_query_expansion_spark.operators import stats as S
+    from efficient_query_expansion_spark.operators import tokenize as TK
+    from efficient_query_expansion_spark.operators.bm25 import sharded_topk
+    from efficient_query_expansion_spark.sources.wiki_markup import (
+        normalized_entity_aliases,
+        read_wiki_dump,
+    )
+    from efficient_query_expansion_spark.thesaurus import (
+        assemble_thesaurus,
+    )
+
+    work = tempfile.mkdtemp(prefix="eqx_lifecycle_")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    # ---- setup (untimed): render a dump whose pages derive from the
+    # documents table — title per doc, two bold aliases from its
+    # leading tokens, template + wiki-link noise, 1-in-10 redirects
+    did = F.col("doc_id").cast("string")
+    toks = F.split(
+        F.trim(F.regexp_replace("text", "[^a-zA-Z0-9 ]", " ")), " +"
+    )
+    a1 = F.concat_ws(" ", F.slice(toks, 1, 2))
+    a2 = F.concat_ws(" ", F.slice(toks, 3, 2))
+    page = F.concat(
+        F.lit("<page>\n<title>topic "), did,
+        F.lit("</title>\n<ns>0</ns>\n<id>"), did,
+        F.lit("</id>\n<revision><id>9"), did,
+        F.lit('</id><text xml:space="preserve">{{Infobox|x={{deep|'),
+        did, F.lit("}}}}'''"), a1,
+        F.lit("''' (also '''''"), a2,
+        F.lit("''''') is [[thing|covered]] here.\n== More ==\n"),
+        F.lit("'''ignored''' tail.</text></revision>\n</page>"),
+    )
+    redirect = F.concat(
+        F.lit("<page>\n<title>redir "), did,
+        F.lit("</title>\n<ns>0</ns>\n<id>8"), did,
+        F.lit('</id>\n<redirect title="topic '), did,
+        F.lit('" />\n<revision><id>7'), did,
+        F.lit('</id><text xml:space="preserve" /></revision>\n</page>'),
+    )
+    dump_dir = f"{work}/dump"
+    (
+        docs.select(page.alias("value"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0)
+            .select(redirect.alias("value"))
+        )
+        .write.mode("overwrite").text(dump_dir)
+    )
+
+    # query workload: 64 two-token queries drawn from doc aliases
+    qsrc = [
+        r["q"]
+        for r in docs.orderBy("doc_id").limit(64)
+        .select(a1.alias("q")).collect()
+    ]
+    queries = spark.createDataFrame(
+        list(enumerate(qsrc)), "qid int, query string"
+    )
+
+    rounds = int(os.environ.get("SPARK_GRAFT_LIFECYCLE_ROUNDS", "3"))
+    stage_names = (
+        "mine", "thesaurus", "index", "expand", "feat_select", "bm25",
+    )
+    per_round: list[dict] = []
+    n_out = {}
+    for _ in range(rounds):
+        st: dict = {}
+        t0 = time.time()
+        # 1. dump → pages (byte-range splits) → normalized aliases
+        pages = read_wiki_dump(spark, dump_dir, split_size=1 << 22)
+        aliases = normalized_entity_aliases(pages)
+        aliases.write.mode("overwrite").parquet(f"{work}/aliases")
+        st["mine"] = time.time() - t0
+
+        # 2. thesaurus assembly; good terms = the index dictionary
+        t0 = time.time()
+        aliases_p = spark.read.parquet(f"{work}/aliases")
+        good = index["dictionary"].select("term")
+        stop = spark.createDataFrame(
+            [("the",), ("a",), ("is",), ("of",)], "term string"
+        )
+        th = assemble_thesaurus([aliases_p], None, good, stop)
+        th["segments"].write.mode("overwrite").parquet(f"{work}/segments")
+        th["entity_alias"].write.mode("overwrite").parquet(f"{work}/ea")
+        st["thesaurus"] = time.time() - t0
+
+        # 2b. corpus index WITH the thesaurus phrase vocabulary as
+        # patterns — the reference architecture (the CNF vocabulary,
+        # including multiword segments, gets phrase postings at build
+        # time; nb 1.0 → ds2i). Unreplicated corpus: the lifecycle
+        # measures the chain at the sf's natural size; the replicated
+        # build throughput is the separate headline number.
+        t0 = time.time()
+        from efficient_query_expansion_spark.operators.postings import (
+            build_index,
+        )
+
+        segs = spark.read.parquet(f"{work}/segments")
+        phrases_df = segs.where(F.col("segment").contains(" ")).select(
+            F.col("segment").alias("pattern")
+        )
+        life_index = build_index(
+            _corpus(spark, replicate=1), patterns=phrases_df
+        )
+        life_index["postings"] = life_index["postings"].persist()
+        life_index["postings"].count()
+        life_index["doclens"] = life_index["doclens"].persist()
+        life_index["doclens"].count()
+        st["index"] = time.time() - t0
+
+        # 3. query preprocessing + entity expansion (part2 path).
+        # The segmenter's phrase dictionary is the thesaurus's
+        # multiword segments collected to the driver — the
+        # reference's own shape (phrase dict → greedy segmentation);
+        # it is query-side state, broadcast back with the segmenter.
+        t0 = time.time()
+        ea = spark.read.parquet(f"{work}/ea")
+        phrases = {
+            r["pattern"] for r in phrases_df.collect()
+        }
+        base = preprocess_queries(
+            spark, queries, GreedySegmenter(phrases), {"the", "a"}
+        )
+        p1_empty = spark.createDataFrame(
+            [], "term string, cand string, pos string, kind string"
+        )
+        cand = expand(base, p1_empty, build_part2_candidates(segs, ea))
+        cand.write.mode("overwrite").parquet(f"{work}/cand")
+        st["expand"] = time.time() - t0
+
+        # 4. collection-stats featurization (P13-restricted to the
+        # workload vocabulary) + greedy selection
+        t0 = time.time()
+        cand_p = spark.read.parquet(f"{work}/cand").select(
+            "qid", "and_pos", "syn_pos", "term"
+        )
+        corpus = TK.with_tokens(
+            TK.with_norm_text(_corpus(spark, replicate=1),
+                              ascii_fast_path=True)
+        )
+        # P13 restriction masks, built distributed: per-query word
+        # sets → qid-local pair cross (bounded by per-query vocab),
+        # broadcast-semi-joined into the corpus scans
+        words = (
+            base.select("qid", F.explode(F.split("term", " ")).alias("w"))
+            .unionByName(
+                cand_p.select(
+                    "qid", F.explode(F.split("term", " ")).alias("w")
+                )
+            )
+            .distinct()
+        )
+        vocab = words.select(F.col("w").alias("term")).distinct()
+        restriction = (
+            words.join(
+                words.withColumnRenamed("w", "w2"), "qid"
+            )
+            .select(
+                F.least("w", "w2").alias("t1"),
+                F.greatest("w", "w2").alias("t2"),
+            )
+            .distinct()
+        )
+        pos = TK.token_positions(corpus).join(
+            F.broadcast(vocab), "term", "left_semi"
+        )
+        ts = S.term_stats(pos)
+        ps = S.pair_stats(corpus, 12, restriction_pairs=restriction)
+        tr = S.triple_stats(pos, window_triples=15)
+        feats = custom_features(cand_p, base, ts, ps, tr)
+        scored = feats.select(
+            "qid", "and_pos", "syn_pos", "term",
+            (
+                F.col("exp_max_co_occ2")
+                + 0.25 * F.col("exp_tf_ratio")
+                + 0.01 * F.col("exp_tf")
+            ).alias("pred"),
+        )
+        sel = greedy_select(scored, steps=2).select(
+            "qid", "and_pos", "syn_pos", "term"
+        )
+        sel.write.mode("overwrite").parquet(f"{work}/sel")
+        st["feat_select"] = time.time() - t0
+
+        # 5. expanded CNFs (base ∪ selected synonyms) → BM25 top-k
+        # against the phrase-aware lifecycle index
+        t0 = time.time()
+        qlong = base.select("qid", "and_pos", "syn_pos", "term").unionByName(
+            spark.read.parquet(f"{work}/sel")
+        )
+        n_hits = sharded_topk(qlong, life_index, k=K).count()
+        st["bm25"] = time.time() - t0
+        life_index["postings"].unpersist()
+        life_index["doclens"].unpersist()
+
+        st = {k: round(v, 3) for k, v in st.items()}
+        st["total"] = round(sum(st.values()), 3)
+        per_round.append(st)
+        if not n_out:
+            n_out = {
+                "n_pages": n_docs + n_docs // 10,
+                "n_aliases": aliases_p.count(),
+                "n_candidates": cand_p.count(),
+                "n_bm25_hits": n_hits,
+            }
+
+    med = {
+        k: round(statistics.median(r[k] for r in per_round), 3)
+        for k in (*stage_names, "total")
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    out = {**med, **n_out, "rounds_total": [r["total"] for r in per_round]}
+    timings["lifecycle_total"] = med["total"]
     return out
 
 
@@ -357,6 +630,7 @@ def main() -> None:
     run_queries(spark, index, timings)
     run_stats(spark, timings)
     result["ann_recall"] = run_ann(spark, timings)
+    result["lifecycle"] = run_lifecycle(spark, index, timings)
     spark.stop()
 
     result.update(

@@ -251,6 +251,32 @@ def preprocess_queries(
     )
 
 
+def load_morph_lexicon(spark: SparkSession) -> DataFrame:
+    """The frozen (term, lemma, plural) dimension shipped at
+    ``data/morph_lexicon.tsv.gz`` — ~2.2k entries generated by
+    ``scripts/build_morph_lexicon.py`` from the public Conway
+    pluralization rule system (the algorithm pattern.en implements;
+    reference query_expansion_support.py:50-59). Both inflection
+    directions are materialized, so lemma lookups hit the lexicon for
+    plural query terms too; ``RuleMorph`` remains the OOV fallback in
+    :func:`build_part1_candidates`. Reads driver-side (a few KB) and
+    broadcasts at the join."""
+    import csv
+    import gzip
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "data",
+        "morph_lexicon.tsv.gz",
+    )
+    with gzip.open(path, "rt", encoding="utf-8") as f:
+        rows = [tuple(r) for r in csv.reader(f, delimiter="\t")]
+    return spark.createDataFrame(
+        rows, "term string, lemma string, plural string"
+    )
+
+
 def _with_lemma(df: DataFrame, src_col: str, lexicon: DataFrame | None):
     """lemma(src_col) → ``lemma`` column: broadcast lexicon lookup
     (pattern.en-derived dimension, reference

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""sf1-scale correctness dry run (round-4 VERDICT item 9).
+
+The shipped testdata tops out at sf0.1 (~50k documents). This script
+materializes an sf1-scale variant by replicating the sf0.1
+``documents``/``embeddings`` tables 10x with shifted ids
+(deterministic — no synthesis), then runs the most data-dependent
+driver-gate entries through exactly the contract-test comparison
+(Spark plan vs DuckDB oracle: row count, column names,
+order-insensitive canonical values) at that scale. Scale bugs masked
+at tiny sf (overflow, skew collapse, oracle divergence on bigger
+windows) surface here.
+
+Writes SF1_GATE.json at the repo root:
+    {"sf_equivalent": 1.0, "n_documents": ..., "results": {name: ok}}
+
+Run:  python scripts/sf1_gate_dryrun.py   (~minutes; needs ~2 GB tmp)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.abspath(os.path.join(HERE, ".."))
+sys.path.insert(0, ROOT)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = int(os.environ.get("SPARK_GRAFT_SF1_FACTOR", "10"))
+
+ENTRIES = [
+    "a3_pair_window_stats",
+    "a4_triple_window_stats",
+    "a9_copresence_pairs",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "t4_bm25_topk",
+    "curation_pipeline",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        return round(val, 9)
+    if isinstance(val, bool):
+        return int(val)
+    return val
+
+
+def _rows_canon(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
+
+
+def main() -> None:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from efficient_query_expansion_spark.session import get_spark
+
+    spark = get_spark(app_name="eqx-sf1-gate", cores=32,
+                      shuffle_partitions=64)
+    work = tempfile.mkdtemp(prefix="eqx_sf1_")
+
+    # 10x replication with shifted ids; other tables copied verbatim
+    # (the chosen entries only consume documents/embeddings)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(FACTOR).select(F.col("id").alias("rep"))
+    big_docs = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * max_doc).alias("doc_id"),
+        # make replicas non-identical (except rep 0) so dedup entries
+        # see realistic near-dup structure, deterministically
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" rep"),
+                     F.col("rep").cast("string"))
+        ).alias("text"),
+    )
+    big_docs.write.mode("overwrite").parquet(f"{work}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    big_emb = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep") * max_vec).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x + F.col("rep").cast("float") * F.lit(0.001),
+        ).alias("embedding"),
+    )
+    big_emb.write.mode("overwrite").parquet(f"{work}/embeddings.parquet")
+
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{work}/{t}.parquet")
+
+    n_docs = big_docs.count()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{work}/{t}.parquet/*.parquet')"
+        )
+
+    q = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    results, timings = {}, {}
+    for name in ENTRIES:
+        t0 = time.time()
+        try:
+            sdf = q[name](spark, work)
+            srows = sdf.collect()
+            scols = sdf.columns
+            res = con.execute(sqls[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            ok = (
+                sorted(scols) == sorted(dcols)
+                and len(srows) == len(drows)
+                and _rows_canon(
+                    scols, [[r[c] for c in scols] for r in srows]
+                )
+                == _rows_canon(dcols, drows)
+            )
+            results[name] = {"ok": bool(ok), "rows": len(srows)}
+        except Exception as e:  # record, keep going
+            results[name] = {"ok": False, "err": str(e)[:300]}
+        timings[name] = round(time.time() - t0, 1)
+        print(name, results[name], timings[name], "s", flush=True)
+
+    out = {
+        "sf_equivalent": round(
+            FACTOR * float(SRC.rstrip("/").split("sf")[-1]), 3
+        ),
+        "n_documents": n_docs,
+        "source": SRC,
+        "factor": FACTOR,
+        "results": results,
+        "seconds": timings,
+        "n_ok": sum(1 for r in results.values() if r["ok"]),
+        "n_total": len(results),
+    }
+    with open(os.path.join(ROOT, "SF1_GATE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("sf_equivalent", "n_documents", "n_ok", "n_total")}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

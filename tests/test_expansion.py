@@ -505,3 +505,78 @@ def test_thesaurus_assembly_structural_fuzz(spark, seed):
         for r in th["meanings"].collect()
     }
     assert got_m == {(k, p, sv) for k, _mk, p, sv in want_m}
+
+
+def test_frozen_morph_lexicon_classics_and_consistency(spark):
+    """The shipped data/morph_lexicon.tsv.gz (round 4): ~2.2k Conway
+    rule-system entries, classical inflections RuleMorph cannot
+    produce, and internal consistency — every plural-form entry
+    lemmatizes back to a singular whose plural is that form."""
+    from efficient_query_expansion_spark.expansion import (
+        RuleMorph,
+        load_morph_lexicon,
+    )
+
+    lx = load_morph_lexicon(spark)
+    rows = {r["term"]: (r["lemma"], r["plural"]) for r in lx.collect()}
+    assert len(rows) >= 2000
+
+    # classical forms beyond the suffix rules
+    assert rows["datum"] == ("datum", "data")
+    assert rows["data"] == ("datum", "data")
+    assert rows["matrix"][1] == "matrices"
+    assert rows["criterion"][1] == "criteria"
+    assert rows["hero"][1] == "heroes"
+    assert rows["radius"][1] == "radii"
+    assert rows["analysis"][1] == "analyses"
+    # RuleMorph would get these wrong — the lexicon is the fix
+    assert RuleMorph.pluralize("radius") != "radii"
+    assert RuleMorph.lemma("data") != "datum"
+
+    # consistency: term is its own lemma or that lemma's plural
+    for term, (lemma, plural) in rows.items():
+        assert term in (lemma, plural), (term, lemma, plural)
+        if lemma in rows:
+            assert rows[lemma][1] == plural, (term, lemma, plural)
+
+
+def test_morph_lexicon_boundary_fuzz(spark):
+    """Fuzz the lexicon/fallback boundary: for every sampled lexicon
+    entry the broadcast join must return the LEXICON value (even
+    where RuleMorph disagrees); invented OOV terms must fall back to
+    RuleMorph exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from efficient_query_expansion_spark.expansion import (
+        RuleMorph,
+        _plural_of,
+        _with_lemma,
+        load_morph_lexicon,
+    )
+
+    lx = load_morph_lexicon(spark)
+    rows = {r["term"]: (r["lemma"], r["plural"]) for r in lx.collect()}
+    rng = random.Random(42)
+    sample = rng.sample(sorted(rows), 200)
+    oov = [f"zz{w}q" for w in sample[:50]]  # guaranteed OOV shapes
+    assert not any(w in rows for w in oov)
+
+    df = spark.createDataFrame(
+        [(w,) for w in sample + oov], "term string"
+    )
+    got_l = {
+        r["term"]: r["lemma"]
+        for r in _with_lemma(df, "term", lx).collect()
+    }
+    got_p = {
+        r["term"]: r["_plural"]
+        for r in _plural_of(df, "term", lx).collect()
+    }
+    for w in sample:
+        assert got_l[w] == rows[w][0], w
+        assert got_p[w] == rows[w][1], w
+    for w in oov:
+        assert got_l[w] == RuleMorph.lemma(w), w
+        assert got_p[w] == RuleMorph.pluralize(w), w
