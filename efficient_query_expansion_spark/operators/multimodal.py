@@ -98,10 +98,49 @@ def decode_media(payload: bytes, media_type: str):
             px, off = _decode_ppm(payload, off, return_end=True)
             frames.append(px)
         return {"kind": "video", "frames": frames}
+    # ---- optional library-backed codecs (round-4 hooks): real
+    # decode WHEN the library is importable (cluster images that ship
+    # Pillow/soundfile), NotImplementedError otherwise — same
+    # degrade-to-'undecodable' behavior downstream either way. Tests
+    # for these paths are importorskip-marked like the xgboost one.
+    if (
+        payload[:3] == b"\xff\xd8\xff"            # JPEG
+        or payload[:8] == b"\x89PNG\r\n\x1a\n"    # PNG
+        or payload[:6] in (b"GIF87a", b"GIF89a")  # GIF
+    ):
+        try:
+            from PIL import Image  # not in this container
+        except ImportError as e:
+            raise NotImplementedError(
+                "JPEG/PNG/GIF decode needs Pillow (not present);"
+                " install it on the cluster image to activate"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return {
+            "kind": "image",
+            "pixels": np.asarray(img, dtype=np.uint8),
+        }
+    if payload[:4] in (b"fLaC", b"OggS"):
+        try:
+            import soundfile  # not in this container
+        except ImportError as e:
+            raise NotImplementedError(
+                "FLAC/OGG decode needs soundfile (not present);"
+                " install it on the cluster image to activate"
+            ) from e
+        import io
+
+        data, rate = soundfile.read(io.BytesIO(payload), dtype="float64")
+        if getattr(data, "ndim", 1) > 1:
+            data = data.mean(axis=1)
+        return {"kind": "audio", "samples": data, "rate": int(rate)}
     raise NotImplementedError(
         "compressed media formats require codec libraries not present"
         " in this environment; uncompressed WAV/PPM/BMP/PPMVID decode"
-        " natively"
+        " natively (JPEG/PNG/GIF and FLAC/OGG activate when"
+        " Pillow/soundfile are importable)"
     )
 
 

@@ -634,3 +634,69 @@ def test_duplicate_clusters_star_contraction_is_logarithmic(spark):
     assert got == {i: 0 for i in range(100)}
     # ≤ 7 contraction rounds + exactly 1 signature-confirming round
     assert stats["rounds"] <= 8, stats
+
+
+def test_optional_codec_hooks_declared_when_libs_absent():
+    """JPEG/PNG and FLAC/OGG magic route to the library-backed hooks;
+    without Pillow/soundfile they must raise NotImplementedError
+    naming the missing library (and degrade to 'undecodable'
+    downstream, covered by the poison test)."""
+    from efficient_query_expansion_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    for payload, lib in [
+        (b"\xff\xd8\xff\xe0" + b"x" * 16, "Pillow"),
+        (b"\x89PNG\r\n\x1a\n" + b"x" * 16, "Pillow"),
+        (b"fLaC" + b"x" * 16, "soundfile"),
+    ]:
+        try:
+            decode_media(payload, "image")
+        except NotImplementedError as e:
+            assert lib in str(e) or "codec" in str(e)
+        except Exception as e:  # pragma: no cover - lib present
+            raise AssertionError(f"wrong error type: {e!r}")
+
+
+def test_pillow_decode_when_importable(spark):
+    """Executes only where Pillow exists (cluster images): a PNG
+    payload decodes to exact pixels through the same decode_media
+    hook the stdlib formats use."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from efficient_query_expansion_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    out = decode_media(buf.getvalue(), "image")
+    assert out["kind"] == "image"
+    assert np.array_equal(out["pixels"], px)
+
+
+def test_soundfile_decode_when_importable(spark):
+    """Executes only where soundfile exists: a FLAC payload decodes
+    losslessly through the decode_media hook."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    from efficient_query_expansion_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    t = np.arange(800) / 8000.0
+    samples = (0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+    buf = io.BytesIO()
+    sf.write(buf, samples, 8000, format="FLAC")
+    out = decode_media(buf.getvalue(), "audio")
+    assert out["kind"] == "audio" and out["rate"] == 8000
+    assert np.allclose(out["samples"], samples, atol=1e-4)
