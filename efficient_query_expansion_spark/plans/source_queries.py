@@ -445,10 +445,64 @@ SELECT * FROM (VALUES
 ) AS t(page_id, title, kind, value)
 """
 
+_MORPH_TERMS = [
+    # lexicon hits incl. classical inflections RuleMorph cannot
+    # produce (scripts/build_morph_lexicon.py output, frozen)
+    "datum", "data", "radius", "radii", "matrix", "hero", "city",
+    "sheep", "child", "children", "analysis", "criteria", "boxes",
+    # OOV shapes -> RuleMorph fallback
+    "zzduck", "zzlorries",
+]
+
+
+def q_f8_morph_lexicon(spark, sf_dir):
+    """F8 at the driver gate (round 4): the shipped frozen morph
+    lexicon (data/morph_lexicon.tsv.gz, Conway rule system) joined
+    broadcast with the RuleMorph OOV fallback — the exact
+    lemma/plural seam build_part1_candidates uses
+    (query_expansion_support.py:50-59). Oracle = hand-frozen VALUES
+    derived from the generator's deterministic output."""
+    from efficient_query_expansion_spark.expansion import (
+        _plural_of,
+        _with_lemma,
+        load_morph_lexicon,
+    )
+
+    lx = load_morph_lexicon(spark)
+    df = spark.createDataFrame(
+        [(t,) for t in _MORPH_TERMS], "term string"
+    )
+    out = _with_lemma(df, "term", lx)
+    out = _plural_of(out, "term", lx)
+    return out.select("term", "lemma", F.col("_plural").alias("plural"))
+
+
+F8_MORPH_SQL = """
+SELECT * FROM (VALUES
+  ('datum', 'datum', 'data'),
+  ('data', 'datum', 'data'),
+  ('radius', 'radius', 'radii'),
+  ('radii', 'radius', 'radii'),
+  ('matrix', 'matrix', 'matrices'),
+  ('hero', 'hero', 'heroes'),
+  ('city', 'city', 'cities'),
+  ('sheep', 'sheep', 'sheep'),
+  ('child', 'child', 'children'),
+  ('children', 'child', 'children'),
+  ('analysis', 'analysis', 'analyses'),
+  ('criteria', 'criterion', 'criteria'),
+  ('boxes', 'box', 'boxes'),
+  ('zzduck', 'zzduck', 'zzducks'),
+  ('zzlorries', 'zzlorry', 'zzlorrieses')
+) AS t(term, lemma, plural)
+"""
+
+
 # Registration order is the driver's execution order (driver_queries
 # registers these FIRST): lead with the entries the r2/r3 driver runs
 # never or least recently covered.
 ENTRIES = {
+    "f8_morph_lexicon": (q_f8_morph_lexicon, F8_MORPH_SQL),
     "s13_wiki_bold_aliases": (q_wiki_bold_aliases, S13_SQL),
     "s4_sphinx_blocks": (q_s4_sphinx_parse, S4_SQL),
     "s7_wikidata_aliases": (q_s7_wikidata, S7_SQL),
