@@ -453,10 +453,12 @@ def run_lifecycle(spark, index, timings: dict) -> dict:
         life_index = build_index(
             _corpus(spark, replicate=1), patterns=phrases_df
         )
-        life_index["postings"] = life_index["postings"].persist()
-        life_index["postings"].count()
-        life_index["doclens"] = life_index["doclens"].persist()
-        life_index["doclens"].count()
+        # materialize EVERY segment (incl. dictionary: its lineage
+        # holds the phrase-pattern n-gram join — leaving it lazy
+        # charges that build cost to the first query batch)
+        for part in ("postings", "doclens", "dictionary", "docs"):
+            life_index[part] = life_index[part].persist()
+            life_index[part].count()
         st["index"] = time.time() - t0
 
         # 3. query preprocessing + entity expansion (part2 path).
@@ -541,8 +543,8 @@ def run_lifecycle(spark, index, timings: dict) -> dict:
         )
         n_hits = sharded_topk(qlong, life_index, k=K).count()
         st["bm25"] = time.time() - t0
-        life_index["postings"].unpersist()
-        life_index["doclens"].unpersist()
+        for part in ("postings", "doclens", "dictionary", "docs"):
+            life_index[part].unpersist()
 
         st = {k: round(v, 3) for k, v in st.items()}
         st["total"] = round(sum(st.values()), 3)

@@ -217,36 +217,53 @@ def sharded_topk(
     )
 
     # synset union-df per (synset, shard): the union of posting
-    # doc-ordinals (a singleton group is just the row's own count —
-    # no decode); shards partition doc space, so the union-df sums
+    # doc-ordinals; shards partition doc space, so the union-df sums
     # across shards. The result JOINS BACK as a column instead of
     # being collected into driver dicts — no per-query-batch driver
-    # state (scales to arbitrarily large query batches) and the whole
-    # evaluation is ONE Spark job.
+    # state (scales to arbitrarily large query batches).
+    #
+    # Split relationally (round 4): a (synset, shard) group with ONE
+    # posting row — the overwhelmingly common case (single-term
+    # synsets) — has union-df = that row's own doc count, a pure hash
+    # agg with NO Python pass. Only groups where several member terms
+    # have postings in the same shard need the decode-and-union, and
+    # that Arrow pass now runs on just those rows (previously every
+    # group went through applyInPandas; measured ~7 s of pure
+    # per-group overhead on a 64-query batch).
+    gkey = ["qid", "and_pos", "syn_pos", "shard"]
+    gcount = qpost.groupBy(*gkey).agg(
+        F.count(F.lit(1)).alias("nrows"), F.sum("n").alias("n_sum")
+    )
+    singles = gcount.where(F.col("nrows") == 1).select(
+        "qid", "and_pos", "syn_pos", F.col("n_sum").alias("df_part")
+    )
+
     def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for (qid, a, s, shard), g in pdf.groupby(
-            ["qid", "and_pos", "syn_pos", "shard"]
-        ):
-            if len(g) == 1:
-                cnt = int(g["n"].iloc[0])
-            else:
-                arrs = [
-                    delta_decode(dec(bytes(x)))
-                    for x in g["doc_gaps"]
-                ]
-                cnt = int(len(np.unique(np.concatenate(arrs))))
+        for (qid, a, s, shard), g in pdf.groupby(gkey):
+            arrs = [delta_decode(dec(bytes(x))) for x in g["doc_gaps"]]
+            cnt = int(len(np.unique(np.concatenate(arrs))))
             out.append((qid, a, s, cnt))
         return pd.DataFrame(
             out, columns=["qid", "and_pos", "syn_pos", "df_part"]
         )
 
-    syn_df = (
-        qpost.select("qid", "and_pos", "syn_pos", "shard", "n", "doc_gaps")
-        .groupBy("qid", "and_pos", "syn_pos", "shard")
+    multi = (
+        qpost.select(*gkey, "n", "doc_gaps")
+        .join(
+            F.broadcast(gcount.where(F.col("nrows") > 1).select(*gkey)),
+            gkey,
+            "left_semi",
+        )
+        .groupBy(*gkey)
         .applyInPandas(
             lambda _k, pdf: union_df(pdf),
             schema="qid int, and_pos int, syn_pos int, df_part long",
+        )
+    )
+    syn_df = (
+        singles.unionByName(
+            multi.select("qid", "and_pos", "syn_pos", "df_part")
         )
         .groupBy("qid", "and_pos", "syn_pos")
         .agg(F.sum("df_part").alias("df_s"))
@@ -254,14 +271,52 @@ def sharded_topk(
 
     bc = spark.sparkContext.broadcast((num_docs, avg_len, k))
 
-    with_lens = (
+    # Ship each shard's ords/lens blobs ONCE per (qid, shard) group as
+    # a tagged union row instead of joining them onto every posting
+    # row (round 4): the old per-row join replicated the shard's
+    # doc-length blobs |posting rows| times through the shuffle —
+    # at cluster scale that is the corpus's doclens table duplicated
+    # per query term. Blob rows have null posting columns; posting
+    # rows have null blobs; groupBy(qid, shard) reunites them.
+    post_rows = (
         qpost.join(F.broadcast(syn_df), ["qid", "and_pos", "syn_pos"])
         .join(F.broadcast(n_syn_df), ["qid", "and_pos"])
-        .join(index["doclens"], "shard")
+        .withColumn("ords", F.lit(None).cast("binary"))
+        .withColumn("lens", F.lit(None).cast("binary"))
     )
+    blob_rows = (
+        qpost.select("qid", "shard")
+        .distinct()
+        .join(index["doclens"], "shard")
+        .select(
+            "qid",
+            F.lit(None).cast("int").alias("and_pos"),
+            F.lit(None).cast("int").alias("syn_pos"),
+            F.lit(None).cast("long").alias("term_id"),
+            "shard",
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("binary").alias("doc_gaps"),
+            F.lit(None).cast("binary").alias("tfs"),
+            F.lit(None).cast("array<double>").alias("block_max_part"),
+            F.lit(None).cast("long").alias("df_s"),
+            F.lit(None).cast("int").alias("n_syn"),
+            "ords",
+            "lens",
+        )
+    )
+    with_lens = post_rows.select(*blob_rows.columns).unionByName(blob_rows)
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         num_docs, avg_len, k = bc.value
+        blob = pdf[pdf["ords"].notna()]
+        pdf = pdf[pdf["ords"].isna()]
+        if pdf.empty or blob.empty:
+            return pd.DataFrame(
+                columns=["qid", "shard", "doc_ordinal", "score"]
+            ).astype(
+                {"qid": "int32", "shard": "int64",
+                 "doc_ordinal": "int64", "score": "float64"}
+            )
         df_s_map = {
             (int(r.and_pos), int(r.syn_pos)): int(r.df_s)
             for r in pdf[["and_pos", "syn_pos", "df_s"]]
@@ -274,8 +329,8 @@ def sharded_topk(
         }
         qid = int(pdf["qid"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
-        ords = delta_decode(dec(bytes(pdf["ords"].iloc[0])))
-        lens = dec(bytes(pdf["lens"].iloc[0])).astype(np.float64)
+        ords = delta_decode(dec(bytes(blob["ords"].iloc[0])))
+        lens = dec(bytes(blob["lens"].iloc[0])).astype(np.float64)
         knorm = K1 * (1.0 - B + B * lens / avg_len)  # per doc-in-shard
 
         best: dict[int, float] = {}
