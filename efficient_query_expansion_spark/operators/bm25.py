@@ -211,9 +211,19 @@ def sharded_topk(
         index["dictionary"].select("term", "term_id", "df"), "term"
     )
 
-    qpost = qterms.join(index["postings"], "term_id").select(
-        "qid", "and_pos", "syn_pos", "term_id", "shard", "n",
-        "doc_gaps", "tfs", "block_max_part",
+    # persist: the plan below reads qpost ~5 times (gcount twice,
+    # the multi-group semi-join, post_rows, blob_rows) — without a
+    # cache each pass re-runs the dictionary⋈postings broadcast join.
+    # qpost is query-batch-scale (the batch's terms × their shards),
+    # not corpus-scale; the ContextCleaner evicts it when the plan's
+    # references go out of scope.
+    qpost = (
+        qterms.join(index["postings"], "term_id")
+        .select(
+            "qid", "and_pos", "syn_pos", "term_id", "shard", "n",
+            "doc_gaps", "tfs", "block_max_part",
+        )
+        .persist()
     )
 
     # synset union-df per (synset, shard): the union of posting

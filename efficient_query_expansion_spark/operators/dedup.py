@@ -438,10 +438,18 @@ def duplicate_clusters(
     if stats is not None:
         stats["rounds"] = rounds
     # fixed point = stars: every non-root points straight at its
-    # component min; roots label themselves
-    return edges.select(
+    # component min. Label every INPUT node (left join + coalesce):
+    # roots and nodes that only appeared in self-pairs — which the
+    # edge canonicalization dropped — self-label rather than
+    # vanishing from the output.
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    mapped = edges.select(
         F.col("src").alias("id"), F.col("dst").alias("cluster_id")
-    ).unionByName(
-        edges.select(F.col("dst").alias("id"),
-                     F.col("dst").alias("cluster_id")).distinct()
+    )
+    return nodes.join(mapped, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
     )

@@ -174,11 +174,13 @@ def _open_for_range(path: str):
     ``open`` for ``file:`` / bare paths, ``pyarrow.fs`` for anything
     with a real scheme (hdfs://, s3://, ...) so byte-range splits
     work against distributed storage too."""
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
-        return open(parsed.path or path, "rb")
+        # binaryFile lists percent-encoded URIs ('my dump.xml' →
+        # 'file:/.../my%20dump.xml'); unquote before open()
+        return open(unquote(parsed.path) or path, "rb")
     from pyarrow import fs as pafs
 
     filesystem, rel = pafs.FileSystem.from_uri(path)

@@ -43,7 +43,14 @@ UNINFLECTED = {
     "offspring", "news", "means", "barracks", "crossroads",
     "headquarters", "equipment", "information", "rice", "money",
     "scissors", "trousers", "physics", "mathematics", "economics",
-    "measles", "chess",
+    "measles", "chess", "thanks", "tennis", "advice", "housing",
+    "welfare", "wealth",
+}
+
+# velar -ch (/k/ sound) takes plain -s, not -es (Conway's -ch split)
+CH_S = {
+    "stomach", "monarch", "epoch", "patriarch", "matriarch",
+    "oligarch", "hierarch", "almanach", "loch",
 }
 
 # -is → -es (classical)
@@ -112,6 +119,8 @@ def conway_plural(w: str) -> str:
         return w + ("es" if w in O_OES else "s")
     if w.endswith("y") and len(w) > 1 and w[-2] not in VOWELS:
         return w[:-1] + "ies"
+    if w in CH_S:
+        return w + "s"
     if w.endswith(("s", "x", "z", "ch", "sh")):
         return w + "es"
     if w.endswith("man") and w not in ("human", "german", "ottoman"):
@@ -244,7 +253,7 @@ writer writing yard year youth zone
 EXTRA = (
     sorted(IRREGULAR) + sorted(UNINFLECTED) + sorted(IS_ES)
     + sorted(US_I) + sorted(UM_A) + sorted(ON_A) + sorted(EX_ICES)
-    + sorted(O_OES) + sorted(F_VES)
+    + sorted(O_OES) + sorted(F_VES) + sorted(CH_S)
 )
 
 

@@ -147,10 +147,12 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 1)
         print(name, results[name], timings[name], "s", flush=True)
 
+    try:
+        sf_eq = round(FACTOR * float(SRC.rstrip("/").split("sf")[-1]), 3)
+    except ValueError:
+        sf_eq = -1.0  # non-sf-suffixed SPARK_GRAFT_SF_DIR override
     out = {
-        "sf_equivalent": round(
-            FACTOR * float(SRC.rstrip("/").split("sf")[-1]), 3
-        ),
+        "sf_equivalent": sf_eq,
         "n_documents": n_docs,
         "source": SRC,
         "factor": FACTOR,

@@ -368,6 +368,7 @@ def test_duplicate_clusters_components(spark):
             (1, 2), (2, 3), (3, 4),          # chain
             (10, 11), (10, 12), (11, 12),    # clique
             (20, 21),                        # pair
+            (30, 30),                        # self-pair: must not vanish
         ],
         "id_a long, id_b long",
     )
@@ -379,6 +380,7 @@ def test_duplicate_clusters_components(spark):
         1: 1, 2: 1, 3: 1, 4: 1,
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
+        30: 30,
     }
 
 
@@ -640,22 +642,31 @@ def test_optional_codec_hooks_declared_when_libs_absent():
     """JPEG/PNG and FLAC/OGG magic route to the library-backed hooks;
     without Pillow/soundfile they must raise NotImplementedError
     naming the missing library (and degrade to 'undecodable'
-    downstream, covered by the poison test)."""
+    downstream, covered by the poison test). Where a library IS
+    installed the same truncated payloads raise that library's own
+    decode error instead — the round-trip tests below cover those
+    environments, so this one only asserts the absent-library
+    contract."""
+    import importlib.util
+
     from efficient_query_expansion_spark.operators.multimodal import (
         decode_media,
     )
 
-    for payload, lib in [
-        (b"\xff\xd8\xff\xe0" + b"x" * 16, "Pillow"),
-        (b"\x89PNG\r\n\x1a\n" + b"x" * 16, "Pillow"),
-        (b"fLaC" + b"x" * 16, "soundfile"),
-    ]:
-        try:
+    cases = [
+        (b"\xff\xd8\xff\xe0" + b"x" * 16, "PIL", "Pillow"),
+        (b"\x89PNG\r\n\x1a\n" + b"x" * 16, "PIL", "Pillow"),
+        (b"fLaC" + b"x" * 16, "soundfile", "soundfile"),
+    ]
+    ran = 0
+    for payload, module, lib in cases:
+        if importlib.util.find_spec(module) is not None:
+            continue  # library present: round-trip tests cover it
+        with pytest.raises(NotImplementedError, match=lib):
             decode_media(payload, "image")
-        except NotImplementedError as e:
-            assert lib in str(e) or "codec" in str(e)
-        except Exception as e:  # pragma: no cover - lib present
-            raise AssertionError(f"wrong error type: {e!r}")
+        ran += 1
+    if ran == 0:
+        pytest.skip("Pillow and soundfile both installed")
 
 
 def test_pillow_decode_when_importable(spark):

@@ -332,7 +332,9 @@ def test_wiki_dump_byte_range_splitting(spark, tmp_path):
             f"</page>\n"
         )
     dump = "<mediawiki>\n" + "".join(pages) + "</mediawiki>\n"
-    f = tmp_path / "bigdump.xml"
+    # space in the name: binaryFile lists it percent-encoded, and the
+    # range opener must unquote before open()
+    f = tmp_path / "big dump.xml"
     f.write_text(dump)
 
     whole = read_wiki_dump(spark, str(tmp_path))
