@@ -211,19 +211,15 @@ def sharded_topk(
         index["dictionary"].select("term", "term_id", "df"), "term"
     )
 
-    # persist: the plan below reads qpost ~5 times (gcount twice,
-    # the multi-group semi-join, post_rows, blob_rows) — without a
-    # cache each pass re-runs the dictionary⋈postings broadcast join.
-    # qpost is query-batch-scale (the batch's terms × their shards),
-    # not corpus-scale; the ContextCleaner evicts it when the plan's
-    # references go out of scope.
-    qpost = (
-        qterms.join(index["postings"], "term_id")
-        .select(
-            "qid", "and_pos", "syn_pos", "term_id", "shard", "n",
-            "doc_gaps", "tfs", "block_max_part",
-        )
-        .persist()
+    # NOT persisted despite ~4 plan reads: qpost carries the batch's
+    # hot-term posting BLOBS, and columnar-caching blob frames is the
+    # measured GC-tax anti-pattern (CLAUDE.md) — re-scanning the
+    # (typically already-persisted) postings table through the
+    # broadcast join is cheaper. The blob-free aggregate below IS
+    # cached instead.
+    qpost = qterms.join(index["postings"], "term_id").select(
+        "qid", "and_pos", "syn_pos", "term_id", "shard", "n",
+        "doc_gaps", "tfs", "block_max_part",
     )
 
     # synset union-df per (synset, shard): the union of posting
@@ -243,7 +239,7 @@ def sharded_topk(
     gkey = ["qid", "and_pos", "syn_pos", "shard"]
     gcount = qpost.groupBy(*gkey).agg(
         F.count(F.lit(1)).alias("nrows"), F.sum("n").alias("n_sum")
-    )
+    ).persist()  # blob-free and tiny; read twice below
     singles = gcount.where(F.col("nrows") == 1).select(
         "qid", "and_pos", "syn_pos", F.col("n_sum").alias("df_part")
     )
@@ -288,14 +284,17 @@ def sharded_topk(
     # at cluster scale that is the corpus's doclens table duplicated
     # per query term. Blob rows have null posting columns; posting
     # rows have null blobs; groupBy(qid, shard) reunites them.
+    # one broadcast frame instead of two (df_s + n_syn joined before
+    # the exchange): halves the broadcast-materialization jobs, which
+    # are fixed per-batch driver cost
+    syn_meta = syn_df.join(n_syn_df, ["qid", "and_pos"])
     post_rows = (
-        qpost.join(F.broadcast(syn_df), ["qid", "and_pos", "syn_pos"])
-        .join(F.broadcast(n_syn_df), ["qid", "and_pos"])
+        qpost.join(F.broadcast(syn_meta), ["qid", "and_pos", "syn_pos"])
         .withColumn("ords", F.lit(None).cast("binary"))
         .withColumn("lens", F.lit(None).cast("binary"))
     )
     blob_rows = (
-        qpost.select("qid", "shard")
+        gcount.select("qid", "shard")  # cached; avoids a qpost re-scan
         .distinct()
         .join(index["doclens"], "shard")
         .select(
