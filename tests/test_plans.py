@@ -101,3 +101,31 @@ def test_bm25_dictionary_join_is_broadcast(spark, transcripts_tiny):
     qlong = query_reprs_to_long_df(spark, {0: [[[("car",), ("auto",)]]]})
     p = _plan(sharded_topk(qlong, idx, k=5))
     assert "BroadcastHashJoin" in p
+
+
+def test_sharded_topk_round4_plan_shape(spark, transcripts_tiny):
+    """The round-4 sharded_topk rewrite's plan contract: broadcast
+    hash joins on the query/synset-meta sides, Arrow group passes
+    present (multi-term union-df + scorer; the singleton synset-df
+    path is a plain HashAggregate), and no nested-loop or cartesian
+    fallback anywhere. (Operator COUNTS are not asserted — formatted
+    explain re-expands shared subtrees, so each reused lineage
+    duplicates its operators in the text.)"""
+    from efficient_query_expansion_spark.operators.bm25 import sharded_topk
+    from efficient_query_expansion_spark.operators.cnf import (
+        query_reprs_to_long_df,
+    )
+    from efficient_query_expansion_spark.operators.postings import (
+        build_index,
+    )
+
+    idx = build_index(transcripts_tiny.limit(80), shard_size=256)
+    qlong = query_reprs_to_long_df(
+        spark, {0: [[[("car",), ("auto",)], [("fast",)]]], 1: [[[("a",)]]]}
+    )
+    p = _plan(sharded_topk(qlong, idx, k=5))
+    assert "FlatMapGroupsInPandas" in p
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
