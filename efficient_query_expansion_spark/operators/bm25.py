@@ -167,17 +167,148 @@ def exact_topk(
 # compressed sharded plan
 # ---------------------------------------------------------------------------
 
+def _synset_df(qpost, gcount, gkey, dec) -> DataFrame:
+    """Per-synset union-df summed across shards (see the call site in
+    :func:`sharded_topk` for the singleton/multi split rationale)."""
+    singles = gcount.where(F.col("nrows") == 1).select(
+        "qid", "and_pos", "syn_pos", F.col("n_sum").alias("df_part")
+    )
+
+    def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (qid, a, s, shard), g in pdf.groupby(gkey):
+            arrs = [delta_decode(dec(bytes(x))) for x in g["doc_gaps"]]
+            cnt = int(len(np.unique(np.concatenate(arrs))))
+            out.append((qid, a, s, cnt))
+        return pd.DataFrame(
+            out, columns=["qid", "and_pos", "syn_pos", "df_part"]
+        )
+
+    multi = (
+        qpost.select(*gkey, "n", "doc_gaps")
+        .join(
+            F.broadcast(gcount.where(F.col("nrows") > 1).select(*gkey)),
+            gkey,
+            "left_semi",
+        )
+        .groupBy(*gkey)
+        .applyInPandas(
+            lambda _k, pdf: union_df(pdf),
+            schema="qid int, and_pos int, syn_pos int, df_part long",
+        )
+    )
+    return (
+        singles.unionByName(
+            multi.select("qid", "and_pos", "syn_pos", "df_part")
+        )
+        .groupBy("qid", "and_pos", "syn_pos")
+        .agg(F.sum("df_part").alias("df_s"))
+    )
+
+
+def segment_synset_df(
+    queries_long: DataFrame, index: dict[str, DataFrame]
+) -> DataFrame:
+    """One segment's contribution to the corpus-global synset df:
+    (qid, and_pos, syn_pos, df_s). Summable across segments because
+    segments partition the doc space (the catalog contract: a doc key
+    lives in exactly one segment)."""
+    dec = CODECS[index.get("codec", "varbyte")][1]
+    qterms = F.broadcast(queries_long).join(
+        index["dictionary"].select("term", "term_id"), "term"
+    )
+    qpost = qterms.join(index["postings"], "term_id").select(
+        "qid", "and_pos", "syn_pos", "shard", "n", "doc_gaps"
+    )
+    gkey = ["qid", "and_pos", "syn_pos", "shard"]
+    gcount = qpost.groupBy(*gkey).agg(
+        F.count(F.lit(1)).alias("nrows"), F.sum("n").alias("n_sum")
+    )
+    return _synset_df(qpost, gcount, gkey, dec)
+
+
+def catalog_topk(
+    queries_long: DataFrame,
+    segments: list[dict],
+    k: int = 10,
+    doc_key: list[str] = DOC_KEY,
+) -> DataFrame:
+    """Exact top-k over a multi-segment catalog (incremental index,
+    ``postings.append_segment``) — bit-identical scores to a
+    monolithic rebuild over the concatenated corpus (tested).
+
+    Global statistics first: num_docs and avg_doc_len aggregate over
+    the segment metas (driver-side scalars, one tiny collect per
+    segment), and the per-synset union-df sums across segments
+    (segments partition the doc space). Every segment is then scored
+    with the SAME global stats, so each per-segment top-k list is
+    admissible: the global top-k is a subset of the union of
+    per-segment top-k lists, and the final window re-ranks the union
+    under the identical (score desc, doc_key asc) order.
+    """
+    metas = []
+    for seg in segments:
+        if "meta_values" in seg:
+            metas.append(
+                (int(seg["meta_values"][0]), float(seg["meta_values"][1]))
+            )
+        else:
+            m = seg["meta"].collect()[0]
+            metas.append((int(m["num_docs"]), float(m["avg_doc_len"])))
+    num_docs = sum(n for n, _ in metas)
+    total_len = sum(n * a for n, a in metas)
+    avg_len = total_len / num_docs if num_docs else 0.0
+
+    global_df = None
+    for seg in segments:
+        part = segment_synset_df(queries_long, seg)
+        global_df = (
+            part if global_df is None else global_df.unionByName(part)
+        )
+    global_df = (
+        global_df.groupBy("qid", "and_pos", "syn_pos")
+        .agg(F.sum("df_s").alias("df_s"))
+        .persist()  # read once per segment below; blob-free and tiny
+    )
+
+    cands = None
+    for seg in segments:
+        part = sharded_topk(
+            queries_long, seg, k=k, doc_key=doc_key,
+            global_df=global_df, global_meta=(num_docs, avg_len),
+        ).select("qid", *doc_key, "score")
+        cands = part if cands is None else cands.unionByName(part)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), *[F.asc(c) for c in doc_key]
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", *doc_key, "score", "rank")
+    )
+
+
 def sharded_topk(
     queries_long: DataFrame,
     index: dict[str, DataFrame],
     k: int = 10,
     doc_key: list[str] = DOC_KEY,
+    global_df: DataFrame | None = None,
+    global_meta: tuple | None = None,
 ) -> DataFrame:
     """Top-k from the compressed sharded index; rank-identical (and
     score-bit-identical) to :func:`exact_topk`. ``queries_long`` is
     the single source of truth for the query CNFs (the synset-count
     and df columns are derived from it distributed — no driver-side
     query state).
+
+    ``global_df`` / ``global_meta`` (round 4, the segment-catalog
+    path): score with corpus-GLOBAL statistics instead of this
+    index's own. ``global_df`` = (qid, and_pos, syn_pos, df_s)
+    across all segments; ``global_meta`` = (num_docs, avg_doc_len)
+    across all segments. With both set, per-segment top-k lists are
+    admissible for an exact global merge — see
+    :func:`catalog_topk`.
 
     Measured dead end, recorded so it isn't retried: clustering the
     cached postings by term_id (repartitionByRange + sort) plus a
@@ -191,7 +322,9 @@ def sharded_topk(
     """
     spark = queries_long.sparkSession
     dec = CODECS[index.get("codec", "varbyte")][1]
-    if "meta_values" in index:
+    if global_meta is not None:
+        num_docs, avg_len = int(global_meta[0]), float(global_meta[1])
+    elif "meta_values" in index:
         num_docs, avg_len = index["meta_values"]
     else:
         meta = index["meta"].collect()[0]
@@ -240,39 +373,10 @@ def sharded_topk(
     gcount = qpost.groupBy(*gkey).agg(
         F.count(F.lit(1)).alias("nrows"), F.sum("n").alias("n_sum")
     ).persist()  # blob-free and tiny; read twice below
-    singles = gcount.where(F.col("nrows") == 1).select(
-        "qid", "and_pos", "syn_pos", F.col("n_sum").alias("df_part")
-    )
-
-    def union_df(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (qid, a, s, shard), g in pdf.groupby(gkey):
-            arrs = [delta_decode(dec(bytes(x))) for x in g["doc_gaps"]]
-            cnt = int(len(np.unique(np.concatenate(arrs))))
-            out.append((qid, a, s, cnt))
-        return pd.DataFrame(
-            out, columns=["qid", "and_pos", "syn_pos", "df_part"]
-        )
-
-    multi = (
-        qpost.select(*gkey, "n", "doc_gaps")
-        .join(
-            F.broadcast(gcount.where(F.col("nrows") > 1).select(*gkey)),
-            gkey,
-            "left_semi",
-        )
-        .groupBy(*gkey)
-        .applyInPandas(
-            lambda _k, pdf: union_df(pdf),
-            schema="qid int, and_pos int, syn_pos int, df_part long",
-        )
-    )
     syn_df = (
-        singles.unionByName(
-            multi.select("qid", "and_pos", "syn_pos", "df_part")
-        )
-        .groupBy("qid", "and_pos", "syn_pos")
-        .agg(F.sum("df_part").alias("df_s"))
+        global_df
+        if global_df is not None
+        else _synset_df(qpost, gcount, gkey, dec)
     )
 
     bc = spark.sparkContext.broadcast((num_docs, avg_len, k))

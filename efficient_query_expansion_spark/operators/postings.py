@@ -570,3 +570,72 @@ def read_index(spark, path: str) -> dict[str, DataFrame]:
                 "codec", "varbyte"
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# segment catalog — incremental indexing (round 4)
+# ---------------------------------------------------------------------------
+
+def append_segment(
+    transcripts: DataFrame, path: str, **build_kwargs
+) -> dict:
+    """Incremental indexing: build an index over ONLY the given (new)
+    documents and add it as the next segment of the catalog at
+    ``path`` — existing segments are never rewritten, so indexing
+    cost is proportional to the increment, not the corpus (the
+    10^12-turn daily-append shape; the north star's "merge partial
+    indexes into a global segment catalog" as a Lucene-style segment
+    model rather than a physical merge).
+
+    Catalog contract: every doc key lives in exactly ONE segment —
+    append genuinely new conv_ids (dedup upstream if needed). Layout:
+    ``path/seg-00000/…`` (each a full :func:`write_index` segment,
+    individually resumable) plus ``catalog.json`` carrying the
+    per-segment lineage and metrics. Query with
+    ``bm25.catalog_topk(queries, read_catalog(spark, path))`` —
+    scores are bit-identical to a monolithic rebuild (tested).
+
+    Returns the updated catalog dict.
+    """
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    cat_file = os.path.join(path, "catalog.json")
+    cat = {"segments": []}
+    if os.path.exists(cat_file):
+        with open(cat_file) as fh:
+            cat = json.load(fh)
+    if transcripts.limit(1).count() == 0:
+        # empty increment (e.g. a no-new-data day): writing it would
+        # produce schemaless parquet dirs that read_catalog can't
+        # load — skip the segment, leave the catalog unchanged
+        return cat
+    seg_name = f"seg-{len(cat['segments']):05d}"
+    index = build_index(transcripts, **build_kwargs)
+    manifest = write_index(index, os.path.join(path, seg_name))
+    cat["segments"].append(
+        {
+            "name": seg_name,
+            "lineage": manifest["lineage"],
+            "metrics": manifest["segments"],
+        }
+    )
+    with open(cat_file, "w") as fh:
+        json.dump(cat, fh, indent=2)
+    return cat
+
+
+def read_catalog(spark, path: str) -> list[dict]:
+    """Load every segment of a catalog written by
+    :func:`append_segment` (list of :func:`read_index` dicts, in
+    append order)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "catalog.json")) as fh:
+        cat = json.load(fh)
+    return [
+        read_index(spark, os.path.join(path, s["name"]))
+        for s in cat["segments"]
+    ]

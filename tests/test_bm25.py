@@ -333,3 +333,105 @@ def test_pfor_index_rank_identity(spark, transcripts_tiny, built_index):
     i_rt = read_index(spark, d)
     assert i_rt["codec"] == "pfor"
     assert rows(i_rt) == rows(i_vb)
+
+
+def test_segment_catalog_append_and_bit_identity(
+    spark, transcripts_tiny, built_index, tmp_path_factory
+):
+    """Round-4 incremental indexing: two appended segments (disjoint
+    conv ranges) queried through catalog_topk must be bit-identical —
+    same top-k docIDs AND float64 scores — to the monolithic index
+    over the full corpus, and the second append must not rewrite the
+    first segment's files."""
+    import os
+
+    from efficient_query_expansion_spark.operators.bm25 import (
+        catalog_topk,
+    )
+    from efficient_query_expansion_spark.operators.postings import (
+        append_segment,
+        read_catalog,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("catalog"))
+    convs = sorted(
+        r["conv_id"]
+        for r in transcripts_tiny.select("conv_id").distinct().collect()
+    )
+    half = set(convs[: len(convs) // 2])
+    pats = spark.createDataFrame(
+        [
+            (t[0],)
+            for r in QUERY_REPRS.values()
+            for aq in r
+            for syn in aq
+            for t in syn
+            if " " in t[0]
+        ],
+        "pattern string",
+    )
+    cat1 = append_segment(
+        transcripts_tiny.where(F.col("conv_id").isin(half)),
+        path, patterns=pats, shard_size=64,
+    )
+    assert [s["name"] for s in cat1["segments"]] == ["seg-00000"]
+    seg0_files = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(path, "seg-00000"))
+        for f in fs
+    }
+    seg0_mtimes = {f: os.path.getmtime(f) for f in seg0_files}
+
+    cat2 = append_segment(
+        transcripts_tiny.where(~F.col("conv_id").isin(half)),
+        path, patterns=pats, shard_size=64,
+    )
+    assert [s["name"] for s in cat2["segments"]] == [
+        "seg-00000", "seg-00001",
+    ]
+    # incremental contract: the first segment is untouched
+    assert {
+        f: os.path.getmtime(f) for f in seg0_files
+    } == seg0_mtimes
+
+    segments = read_catalog(spark, path)
+    qlong = query_reprs_to_long_df(spark, QUERY_REPRS)
+    got = catalog_topk(qlong, segments, k=10).collect()
+    want = sharded_topk(qlong, built_index, k=10).collect()
+
+    def keyed(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append(
+                (r["rank"], r["conv_id"], r["turn_idx"], r["score"])
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    g, w = keyed(got), keyed(want)
+    assert set(g) == set(w)
+    for qid in w:
+        assert g[qid] == w[qid], f"qid {qid}: catalog != monolithic"
+
+
+def test_segment_catalog_empty_increment_is_noop(
+    spark, transcripts_tiny, tmp_path_factory
+):
+    """An empty increment (no-new-data day) must not write an
+    unreadable schemaless segment — the catalog stays unchanged."""
+    from efficient_query_expansion_spark.operators.postings import (
+        append_segment,
+        read_catalog,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("catalog_empty"))
+    cat = append_segment(
+        transcripts_tiny.limit(20), path, shard_size=64
+    )
+    assert len(cat["segments"]) == 1
+    cat2 = append_segment(
+        transcripts_tiny.where(F.lit(False)), path, shard_size=64
+    )
+    assert len(cat2["segments"]) == 1  # unchanged
+    assert len(read_catalog(spark, path)) == 1  # still loads
