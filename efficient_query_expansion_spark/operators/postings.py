@@ -577,7 +577,10 @@ def read_index(spark, path: str) -> dict[str, DataFrame]:
 # ---------------------------------------------------------------------------
 
 def append_segment(
-    transcripts: DataFrame, path: str, **build_kwargs
+    transcripts: DataFrame,
+    path: str,
+    applied_epoch: int | None = None,
+    **build_kwargs,
 ) -> dict:
     """Incremental indexing: build an index over ONLY the given (new)
     documents and add it as the next segment of the catalog at
@@ -595,6 +598,14 @@ def append_segment(
     ``bm25.catalog_topk(queries, read_catalog(spark, path))`` —
     scores are bit-identical to a monolithic rebuild (tested).
 
+    ``applied_epoch`` (the streaming sink's idempotence hook): when
+    set, the epoch id commits in the SAME catalog.json write that
+    references the new segment — a crash before that write leaves an
+    unreferenced segment dir which the redelivered batch resumes
+    (write_index skips complete components) and commits atomically;
+    a crash after it makes the redelivery a recognized no-op. Never
+    a double-counted segment either way.
+
     Returns the updated catalog dict.
     """
     import json
@@ -606,6 +617,11 @@ def append_segment(
     if os.path.exists(cat_file):
         with open(cat_file) as fh:
             cat = json.load(fh)
+    if (
+        applied_epoch is not None
+        and int(applied_epoch) in cat.get("applied_epochs", [])
+    ):
+        return cat  # redelivery after a checkpoint-commit failure
     if transcripts.limit(1).count() == 0:
         # empty increment (e.g. a no-new-data day): writing it would
         # produce schemaless parquet dirs that read_catalog can't
@@ -621,6 +637,10 @@ def append_segment(
             "metrics": manifest["segments"],
         }
     )
+    if applied_epoch is not None:
+        cat["applied_epochs"] = cat.get("applied_epochs", []) + [
+            int(applied_epoch)
+        ]
     with open(cat_file, "w") as fh:
         json.dump(cat, fh, indent=2)
     return cat

@@ -123,6 +123,47 @@ def incremental_term_stats(
     return writer.start()
 
 
+def incremental_index(
+    spark: SparkSession,
+    input_path: str,
+    catalog_path: str,
+    checkpoint_path: str,
+    trigger_once: bool = True,
+    **build_kwargs,
+):
+    """Stream transcript parquet drops → a growing segment catalog
+    (round 4): each micro-batch is indexed as its own catalog segment
+    via ``postings.append_segment`` — existing segments untouched, so
+    standing ingestion cost is proportional to the new turns — and
+    ``bm25.catalog_topk`` serves the whole catalog with exact global
+    BM25 at any point. Epoch idempotence rides in the catalog write
+    itself (``applied_epoch``): redelivered micro-batches after a
+    checkpoint-commit failure resume or no-op, never double-append.
+    Returns the StreamingQuery (caller stops it / awaits).
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+    )
+
+    def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from efficient_query_expansion_spark.operators.postings import (
+            append_segment,
+        )
+
+        append_segment(
+            batch_df, catalog_path, applied_epoch=int(epoch_id),
+            **build_kwargs,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_turn_rates(
     spark: SparkSession, input_path: str, watermark: str = "1 minute"
 ) -> DataFrame:

@@ -368,3 +368,72 @@ def test_template_nesting_beyond_three_levels(spark):
     deep = "{{a|{{b|{{c|{{d|{{e|x}}}}}}}}}}"
     got = extract_bold_aliases("T", deep + " '''kept''' tail")
     assert got == ["kept"]
+
+
+def test_incremental_index_stream_builds_catalog(spark, tmp_path):
+    """Round-4 streaming ingestion: parquet drops → segment catalog
+    via foreachBatch append_segment; catalog_topk over the streamed
+    catalog is bit-identical to a monolithic index over all turns,
+    and a redelivered epoch is a no-op (idempotent catalog write)."""
+    from pyspark.sql import functions as F
+
+    from efficient_query_expansion_spark.fixtures import spark_transcripts
+    from efficient_query_expansion_spark.operators.bm25 import (
+        catalog_topk,
+        sharded_topk,
+    )
+    from efficient_query_expansion_spark.operators.cnf import (
+        query_reprs_to_long_df,
+    )
+    from efficient_query_expansion_spark.operators.postings import (
+        append_segment,
+        build_index,
+        read_catalog,
+    )
+    from efficient_query_expansion_spark.streaming.incremental import (
+        incremental_index,
+    )
+
+    t = spark_transcripts(spark, n_convs=12)
+    inp = str(tmp_path / "in")
+    t.where(F.col("conv_id") <= "conv000005").write.parquet(
+        inp + "/drop1.parquet"
+    )
+    t.where(F.col("conv_id") > "conv000005").write.parquet(
+        inp + "/drop2.parquet"
+    )
+    cat_path = str(tmp_path / "catalog")
+    q = incremental_index(
+        spark, inp + "/*", cat_path, str(tmp_path / "ckpt"),
+        shard_size=128,
+    )
+    q.awaitTermination(120)
+
+    segments = read_catalog(spark, cat_path)
+    assert len(segments) >= 1  # availableNow may batch drops together
+
+    qrepr = {0: [[[("car",), ("auto",)]]], 1: [[[("fast",)]]]}
+    ql = query_reprs_to_long_df(spark, qrepr)
+    got = {
+        (r["qid"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
+        for r in catalog_topk(ql, segments, k=5).collect()
+    }
+    mono = build_index(t, shard_size=128)
+    want = {
+        (r["qid"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
+        for r in sharded_topk(ql, mono, k=5).collect()
+    }
+    assert got == want  # bit-identical incl. float64 scores
+
+    # redelivered epoch (checkpoint-commit failure) must be a no-op
+    import json
+    import os
+
+    with open(os.path.join(cat_path, "catalog.json")) as fh:
+        cat = json.load(fh)
+    n_seg = len(cat["segments"])
+    epoch = cat["applied_epochs"][0]
+    cat2 = append_segment(
+        t.limit(4), cat_path, applied_epoch=epoch, shard_size=128
+    )
+    assert len(cat2["segments"]) == n_seg
