@@ -567,6 +567,62 @@ def run_lifecycle(spark, index, timings: dict) -> dict:
     return out
 
 
+def run_incremental_append(spark, timings: dict) -> dict:
+    """Segment-catalog incremental indexing: time appending a 1% and
+    a 10% increment of the bench corpus to a catalog. The claim under
+    test is append cost ∝ increment size (existing segments are never
+    rewritten) — compare with `index_build`, the full-corpus number.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from efficient_query_expansion_spark.operators.bm25 import (
+        catalog_topk,
+    )
+    from efficient_query_expansion_spark.operators.cnf import (
+        query_reprs_to_long_df,
+    )
+    from efficient_query_expansion_spark.operators.postings import (
+        append_segment,
+        read_catalog,
+    )
+    from efficient_query_expansion_spark.plans.driver_queries import (
+        BM25_QUERIES,
+    )
+
+    t = _corpus(spark)
+    path = tempfile.mkdtemp(prefix="eqx_catalog_bench_")
+    out = {}
+    # conv_id carries the replication suffix; hash-sample for
+    # deterministic 1% / 10% increments of the full bench corpus
+    for pct in (1, 10):
+        inc = t.where(
+            F.abs(F.xxhash64("conv_id", F.lit(pct))) % 100 < pct
+        )
+        n = inc.count()  # materialize the increment before timing
+        t0 = time.time()
+        append_segment(inc, path, shard_size=1 << 16)
+        dt = time.time() - t0
+        out[f"append_{pct}pct"] = {
+            "seconds": round(dt, 3),
+            "turns": n,
+            "turns_per_sec": round(n / dt, 1),
+        }
+        timings[f"catalog_append_{pct}pct"] = round(dt, 3)
+    # the catalog must serve queries after the appends
+    segs = read_catalog(spark, path)
+    qlong = query_reprs_to_long_df(spark, BM25_QUERIES)
+    t0 = time.time()
+    n_hits = catalog_topk(qlong, segs, k=K).count()
+    timings["catalog_query_batch"] = round(time.time() - t0, 3)
+    out["n_segments"] = len(segs)
+    out["query_hits"] = n_hits
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def scaling_run() -> dict:
     """Same index build at two parallelism levels on identical input.
 
@@ -633,6 +689,7 @@ def main() -> None:
     run_stats(spark, timings)
     result["ann_recall"] = run_ann(spark, timings)
     result["lifecycle"] = run_lifecycle(spark, index, timings)
+    result["incremental"] = run_incremental_append(spark, timings)
     spark.stop()
 
     result.update(
