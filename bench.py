@@ -450,8 +450,14 @@ def run_lifecycle(spark, index, timings: dict) -> dict:
         phrases_df = segs.where(F.col("segment").contains(" ")).select(
             F.col("segment").alias("pattern")
         )
+        # num_partitions: cap the shard count near n_docs/shard_size —
+        # per-query serving cost is one Arrow group per (query, shard),
+        # and a 5k-doc corpus inheriting 32+ range partitions would
+        # spend the BM25 stage on per-group overhead (measured ~28 s →
+        # ~4x fewer groups at 8 shards)
         life_index = build_index(
-            _corpus(spark, replicate=1), patterns=phrases_df
+            _corpus(spark, replicate=1), patterns=phrases_df,
+            num_partitions=8,
         )
         # materialize EVERY segment (incl. dictionary: its lineage
         # holds the phrase-pattern n-gram join — leaving it lazy

@@ -305,6 +305,7 @@ def build_index(
     doc_key: list[str] = DOC_KEY,
     materialize_dir: str | None = None,
     codec: str = "pfor",
+    num_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full index build. Returns dict of DataFrames:
 
@@ -338,7 +339,14 @@ def build_index(
         toks.write.mode("overwrite").parquet(toks_path)
         toks = spark.read.parquet(toks_path)
 
-    docs = assign_doc_ordinals(toks, doc_key).persist()
+    # num_partitions bounds the doc-range partition count and thereby
+    # the SHARD count (ordinals carry a per-partition prefix, so each
+    # range partition yields >= 1 shard regardless of shard_size).
+    # Serving cost per query batch scales with |queries| x |shards|
+    # (one Arrow scoring group each), so an index built for a small
+    # corpus should cap partitions near ceil(n_docs / shard_size)
+    # instead of inheriting the cluster's full parallelism.
+    docs = assign_doc_ordinals(toks, doc_key, num_partitions).persist()
     meta_row = docs.agg(
         F.count(F.lit(1)).alias("num_docs"),
         F.avg("doc_len").alias("avg_doc_len"),
