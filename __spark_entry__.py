@@ -49,7 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
     t = transcripts_from_documents(spark, "/root/testdata/sf0.001")
-    index = build_index(t, shard_size=1 << 12)
+    # num_partitions caps the shard count for the 500-doc smoke corpus
+    # (serving cost ∝ queries × shards; see build_index)
+    index = build_index(t, shard_size=1 << 12, num_partitions=4)
     qlong = query_reprs_to_long_df(spark, BM25_QUERIES)
     return sharded_topk(qlong, index, k=10)
 
