@@ -206,46 +206,32 @@ def _synset_df(qpost, gcount, gkey, dec) -> DataFrame:
     )
 
 
-def segment_synset_df(
-    queries_long: DataFrame, index: dict[str, DataFrame]
-) -> DataFrame:
-    """One segment's contribution to the corpus-global synset df:
-    (qid, and_pos, syn_pos, df_s). Summable across segments because
-    segments partition the doc space (the catalog contract: a doc key
-    lives in exactly one segment)."""
-    dec = CODECS[index.get("codec", "varbyte")][1]
-    qterms = F.broadcast(queries_long).join(
-        index["dictionary"].select("term", "term_id"), "term"
-    )
-    qpost = qterms.join(index["postings"], "term_id").select(
-        "qid", "and_pos", "syn_pos", "shard", "n", "doc_gaps"
-    )
-    gkey = ["qid", "and_pos", "syn_pos", "shard"]
-    gcount = qpost.groupBy(*gkey).agg(
-        F.count(F.lit(1)).alias("nrows"), F.sum("n").alias("n_sum")
-    )
-    return _synset_df(qpost, gcount, gkey, dec)
+SEG_STRIDE = 1 << 40  # term-id / shard-id namespace per catalog segment
 
 
-def catalog_topk(
-    queries_long: DataFrame,
-    segments: list[dict],
-    k: int = 10,
-    doc_key: list[str] = DOC_KEY,
-) -> DataFrame:
-    """Exact top-k over a multi-segment catalog (incremental index,
-    ``postings.append_segment``) — bit-identical scores to a
-    monolithic rebuild over the concatenated corpus (tested).
-
-    Global statistics first: num_docs and avg_doc_len aggregate over
-    the segment metas (driver-side scalars, one tiny collect per
-    segment), and the per-synset union-df sums across segments
-    (segments partition the doc space). Every segment is then scored
-    with the SAME global stats, so each per-segment top-k list is
-    admissible: the global top-k is a subset of the union of
-    per-segment top-k lists, and the final window re-ranks the union
-    under the identical (score desc, doc_key asc) order.
-    """
+def union_catalog_index(
+    segments: list[dict], doc_key: list[str] = DOC_KEY
+) -> dict:
+    """Fuse a segment catalog into ONE virtual index whose query cost
+    is independent of the segment count: per-segment term_ids and
+    shard ids move into disjoint ``SEG_STRIDE`` namespaces (pure
+    column arithmetic — posting blobs are untouched because doc
+    ordinals stay segment-local), the dictionaries/postings/doclens
+    union, and the docs table gains a ``scope`` column (the segment
+    ordinal) so ordinal→doc-key resolution can disambiguate ordinal
+    collisions across segments. Because segments partition the doc
+    space, the synset union-df computed over the fused postings IS
+    the corpus-global df, and the fused meta carries global num_docs
+    + length-weighted avg_doc_len — one :func:`sharded_topk` call
+    over this dict scores exactly like a monolithic index (tested
+    bit-identical), with ONE set of broadcasts/jobs regardless of how
+    many increments were appended."""
+    codecs = {seg.get("codec", "varbyte") for seg in segments}
+    if len(codecs) != 1:
+        raise ValueError(
+            f"catalog segments use mixed codecs {sorted(codecs)};"
+            " rebuild or append with a single codec"
+        )
     metas = []
     for seg in segments:
         if "meta_values" in seg:
@@ -259,32 +245,67 @@ def catalog_topk(
     total_len = sum(n * a for n, a in metas)
     avg_len = total_len / num_docs if num_docs else 0.0
 
-    global_df = None
-    for seg in segments:
-        part = segment_synset_df(queries_long, seg)
-        global_df = (
-            part if global_df is None else global_df.unionByName(part)
+    dicts, posts, lens, docs = [], [], [], []
+    for i, seg in enumerate(segments):
+        off = F.lit(i * SEG_STRIDE)
+        dicts.append(
+            seg["dictionary"].select(
+                "term", (F.col("term_id") + off).alias("term_id"), "df"
+            )
         )
-    global_df = (
-        global_df.groupBy("qid", "and_pos", "syn_pos")
-        .agg(F.sum("df_s").alias("df_s"))
-        .persist()  # read once per segment below; blob-free and tiny
-    )
+        posts.append(
+            seg["postings"].withColumn(
+                "term_id", F.col("term_id") + off
+            ).withColumn("shard", F.col("shard") + off)
+        )
+        lens.append(
+            seg["doclens"].withColumn("shard", F.col("shard") + off)
+        )
+        docs.append(
+            seg["docs"].select(
+                *doc_key, "doc_ordinal", F.lit(i).alias("scope")
+            )
+        )
 
-    cands = None
-    for seg in segments:
-        part = sharded_topk(
-            queries_long, seg, k=k, doc_key=doc_key,
-            global_df=global_df, global_meta=(num_docs, avg_len),
-        ).select("qid", *doc_key, "score")
-        cands = part if cands is None else cands.unionByName(part)
-    w = Window.partitionBy("qid").orderBy(
-        F.desc("score"), *[F.asc(c) for c in doc_key]
-    )
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", *doc_key, "score", "rank")
+    def _u(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return {
+        "dictionary": _u(dicts),
+        "postings": _u(posts),
+        "doclens": _u(lens),
+        "docs": _u(docs),
+        "meta_values": (num_docs, avg_len),
+        "codec": next(iter(codecs)),
+        "scope_stride": SEG_STRIDE,
+    }
+
+
+def catalog_topk(
+    queries_long: DataFrame,
+    segments: list[dict],
+    k: int = 10,
+    doc_key: list[str] = DOC_KEY,
+) -> DataFrame:
+    """Exact top-k over a multi-segment catalog (incremental index,
+    ``postings.append_segment``) — bit-identical scores to a
+    monolithic rebuild over the concatenated corpus (tested), at a
+    query cost INDEPENDENT of the segment count: the catalog fuses
+    into one virtual index (:func:`union_catalog_index`) and a single
+    :func:`sharded_topk` evaluation runs over it — one broadcast set,
+    one scoring pass, exactly as if the corpus had been indexed
+    monolithically."""
+    if len(segments) == 1:
+        return sharded_topk(queries_long, segments[0], k=k,
+                            doc_key=doc_key)
+    return sharded_topk(
+        queries_long,
+        union_catalog_index(segments, doc_key),
+        k=k,
+        doc_key=doc_key,
     )
 
 
@@ -293,22 +314,16 @@ def sharded_topk(
     index: dict[str, DataFrame],
     k: int = 10,
     doc_key: list[str] = DOC_KEY,
-    global_df: DataFrame | None = None,
-    global_meta: tuple | None = None,
 ) -> DataFrame:
     """Top-k from the compressed sharded index; rank-identical (and
     score-bit-identical) to :func:`exact_topk`. ``queries_long`` is
     the single source of truth for the query CNFs (the synset-count
     and df columns are derived from it distributed — no driver-side
-    query state).
-
-    ``global_df`` / ``global_meta`` (round 4, the segment-catalog
-    path): score with corpus-GLOBAL statistics instead of this
-    index's own. ``global_df`` = (qid, and_pos, syn_pos, df_s)
-    across all segments; ``global_meta`` = (num_docs, avg_doc_len)
-    across all segments. With both set, per-segment top-k lists are
-    admissible for an exact global merge — see
-    :func:`catalog_topk`.
+    query state). Also evaluates fused segment catalogs
+    (:func:`union_catalog_index`): their ``meta_values`` carry global
+    stats, the synset-df aggregation over the fused postings is the
+    global df by construction, and the ``scope_stride`` marker makes
+    the final ordinal resolution segment-aware.
 
     Measured dead end, recorded so it isn't retried: clustering the
     cached postings by term_id (repartitionByRange + sort) plus a
@@ -322,10 +337,9 @@ def sharded_topk(
     """
     spark = queries_long.sparkSession
     dec = CODECS[index.get("codec", "varbyte")][1]
-    if global_meta is not None:
-        num_docs, avg_len = int(global_meta[0]), float(global_meta[1])
-    elif "meta_values" in index:
+    if "meta_values" in index:
         num_docs, avg_len = index["meta_values"]
+        num_docs, avg_len = int(num_docs), float(avg_len)
     else:
         meta = index["meta"].collect()[0]
         num_docs, avg_len = int(meta["num_docs"]), float(meta["avg_doc_len"])
@@ -373,11 +387,7 @@ def sharded_topk(
     gcount = qpost.groupBy(*gkey).agg(
         F.count(F.lit(1)).alias("nrows"), F.sum("n").alias("n_sum")
     ).persist()  # blob-free and tiny; read twice below
-    syn_df = (
-        global_df
-        if global_df is not None
-        else _synset_df(qpost, gcount, gkey, dec)
-    )
+    syn_df = _synset_df(qpost, gcount, gkey, dec)
 
     bc = spark.sparkContext.broadcast((num_docs, avg_len, k))
 
@@ -529,6 +539,39 @@ def sharded_topk(
         lambda _k, pdf: score_group(pdf),
         schema="qid int, shard long, doc_ordinal long, score double",
     )
+
+    stride = index.get("scope_stride")
+    if stride:
+        # fused catalog: ordinals are segment-LOCAL — they collide
+        # across segments and their numeric order is not the global
+        # doc-key order, so the rank-identity tie-break (score desc,
+        # doc_key asc) cannot use them globally. Take top-k per
+        # (qid, segment) first (within a segment, ordinal order IS
+        # doc-key order), resolve the ≤ k·|Q|·|segments| survivors to
+        # real doc keys on (scope, ordinal), then rank by the actual
+        # doc_key — bit-identical to the monolithic window.
+        scoped = cand.withColumn(
+            "scope", F.floor(F.col("shard") / F.lit(int(stride))).cast("int")
+        )
+        w_seg = Window.partitionBy("qid", "scope").orderBy(
+            F.desc("score"), F.asc("doc_ordinal")
+        )
+        per_seg = (
+            scoped.withColumn("r_seg", F.row_number().over(w_seg))
+            .where(F.col("r_seg") <= k)
+            .select("qid", "scope", "doc_ordinal", "score")
+        )
+        resolved = index["docs"].join(
+            F.broadcast(per_seg), ["scope", "doc_ordinal"]
+        )
+        w_glob = Window.partitionBy("qid").orderBy(
+            F.desc("score"), *[F.asc(c) for c in doc_key]
+        )
+        return (
+            resolved.withColumn("rank", F.row_number().over(w_glob))
+            .where(F.col("rank") <= k)
+            .select("qid", *doc_key, "score", "rank")
+        )
 
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_ordinal"))
     topk = (

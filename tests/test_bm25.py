@@ -359,7 +359,10 @@ def test_segment_catalog_append_and_bit_identity(
         r["conv_id"]
         for r in transcripts_tiny.select("conv_id").distinct().collect()
     )
-    half = set(convs[: len(convs) // 2])
+    # 3 INTERLEAVED segments (conv i → segment i%3): score ties and
+    # doc-key ordering cross segment boundaries constantly, so the
+    # fused evaluator's global tie-break is exercised hard
+    thirds = [set(convs[i::3]) for i in range(3)]
     pats = spark.createDataFrame(
         [
             (t[0],)
@@ -372,7 +375,7 @@ def test_segment_catalog_append_and_bit_identity(
         "pattern string",
     )
     cat1 = append_segment(
-        transcripts_tiny.where(F.col("conv_id").isin(half)),
+        transcripts_tiny.where(F.col("conv_id").isin(thirds[0])),
         path, patterns=pats, shard_size=64,
     )
     assert [s["name"] for s in cat1["segments"]] == ["seg-00000"]
@@ -383,12 +386,13 @@ def test_segment_catalog_append_and_bit_identity(
     }
     seg0_mtimes = {f: os.path.getmtime(f) for f in seg0_files}
 
-    cat2 = append_segment(
-        transcripts_tiny.where(~F.col("conv_id").isin(half)),
-        path, patterns=pats, shard_size=64,
-    )
+    for third in thirds[1:]:
+        cat2 = append_segment(
+            transcripts_tiny.where(F.col("conv_id").isin(third)),
+            path, patterns=pats, shard_size=64,
+        )
     assert [s["name"] for s in cat2["segments"]] == [
-        "seg-00000", "seg-00001",
+        "seg-00000", "seg-00001", "seg-00002",
     ]
     # incremental contract: the first segment is untouched
     assert {
