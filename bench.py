@@ -601,16 +601,20 @@ def run_incremental_append(spark, timings: dict) -> dict:
     t = _corpus(spark)
     path = tempfile.mkdtemp(prefix="eqx_catalog_bench_")
     out = {}
-    # conv_id carries the replication suffix; hash-sample for
-    # deterministic 1% / 10% increments of the full bench corpus
-    for pct in (1, 10):
-        inc = t.where(
-            F.abs(F.xxhash64("conv_id", F.lit(pct))) % 100 < pct
-        )
-        n = inc.count()  # materialize the increment before timing
+    # conv_id carries the replication suffix; ONE hash with DISJOINT
+    # buckets keeps the increments non-overlapping (the catalog
+    # contract: every doc key in exactly one segment)
+    bucket = F.abs(F.xxhash64("conv_id")) % 100
+    for pct, cond in ((1, bucket < 1), (10, (bucket >= 1) & (bucket < 11))):
+        # persist + count: materialize the increment BEFORE the timer
+        # so the append measures indexing, not the replicated-corpus
+        # scan that derives the increment
+        inc = t.where(cond).persist()
+        n = inc.count()
         t0 = time.time()
         append_segment(inc, path, shard_size=1 << 16)
         dt = time.time() - t0
+        inc.unpersist()
         out[f"append_{pct}pct"] = {
             "seconds": round(dt, 3),
             "turns": n,

@@ -232,17 +232,24 @@ def union_catalog_index(
             f"catalog segments use mixed codecs {sorted(codecs)};"
             " rebuild or append with a single codec"
         )
-    metas = []
+    # exact global avg_doc_len: doc lengths are integers, so summing
+    # per-segment INTEGER token totals and dividing once reproduces
+    # the monolithic avg(doc_len) double bit-for-bit (summing the
+    # already-rounded per-segment doubles n_i * avg_i would drift by
+    # ulps and break score bit-identity). total_terms comes from the
+    # meta table; when only meta_values survived (read_index), the
+    # integer total is recovered exactly via round(n * avg).
+    num_docs = 0
+    total_len = 0
     for seg in segments:
-        if "meta_values" in seg:
-            metas.append(
-                (int(seg["meta_values"][0]), float(seg["meta_values"][1]))
-            )
-        else:
+        if "meta" in seg:
             m = seg["meta"].collect()[0]
-            metas.append((int(m["num_docs"]), float(m["avg_doc_len"])))
-    num_docs = sum(n for n, _ in metas)
-    total_len = sum(n * a for n, a in metas)
+            num_docs += int(m["num_docs"])
+            total_len += int(m["total_terms"])
+        else:
+            n, a = int(seg["meta_values"][0]), float(seg["meta_values"][1])
+            num_docs += n
+            total_len += int(round(n * a))
     avg_len = total_len / num_docs if num_docs else 0.0
 
     dicts, posts, lens, docs = [], [], [], []
@@ -384,9 +391,16 @@ def sharded_topk(
     # group went through applyInPandas; measured ~7 s of pure
     # per-group overhead on a 64-query batch).
     gkey = ["qid", "and_pos", "syn_pos", "shard"]
+    # deliberately NOT cached despite 3 plan reads: a Dataset persist
+    # registers in the CacheManager and is never released without an
+    # explicit unpersist — one leaked cache entry per query batch in
+    # a long-lived serving session — and localCheckpoint materializes
+    # with noisy scheduler-side accumulator errors. Recomputing this
+    # blob-free hash agg over the (typically cached) postings join
+    # measured within noise of the cached variant.
     gcount = qpost.groupBy(*gkey).agg(
         F.count(F.lit(1)).alias("nrows"), F.sum("n").alias("n_sum")
-    ).persist()  # blob-free and tiny; read twice below
+    )
     syn_df = _synset_df(qpost, gcount, gkey, dec)
 
     bc = spark.sparkContext.broadcast((num_docs, avg_len, k))

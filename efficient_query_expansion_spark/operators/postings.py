@@ -587,7 +587,7 @@ def read_index(spark, path: str) -> dict[str, DataFrame]:
 def append_segment(
     transcripts: DataFrame,
     path: str,
-    applied_epoch: int | None = None,
+    applied_epoch: int | str | None = None,
     **build_kwargs,
 ) -> dict:
     """Incremental indexing: build an index over ONLY the given (new)
@@ -607,17 +607,21 @@ def append_segment(
     scores are bit-identical to a monolithic rebuild (tested).
 
     ``applied_epoch`` (the streaming sink's idempotence hook): when
-    set, the epoch id commits in the SAME catalog.json write that
+    set, the token commits in the SAME catalog.json write that
     references the new segment — a crash before that write leaves an
-    unreferenced segment dir which the redelivered batch resumes
-    (write_index skips complete components) and commits atomically;
-    a crash after it makes the redelivery a recognized no-op. Never
-    a double-counted segment either way.
+    unreferenced segment dir (REMOVED on the next append: the next
+    attempt may carry DIFFERENT data, and component-level resume
+    would silently mix two increments into one segment); a crash
+    after it makes the redelivery a recognized no-op. Never a
+    double-counted or mixed segment either way. The catalog file
+    itself commits via write-temp + ``os.replace`` so a crash
+    mid-write can never truncate the live catalog.
 
     Returns the updated catalog dict.
     """
     import json
     import os
+    import shutil
 
     os.makedirs(path, exist_ok=True)
     cat_file = os.path.join(path, "catalog.json")
@@ -627,7 +631,9 @@ def append_segment(
             cat = json.load(fh)
     if (
         applied_epoch is not None
-        and int(applied_epoch) in cat.get("applied_epochs", [])
+        and str(applied_epoch) in [
+            str(e) for e in cat.get("applied_epochs", [])
+        ]
     ):
         return cat  # redelivery after a checkpoint-commit failure
     if transcripts.limit(1).count() == 0:
@@ -636,8 +642,13 @@ def append_segment(
         # load — skip the segment, leave the catalog unchanged
         return cat
     seg_name = f"seg-{len(cat['segments']):05d}"
+    seg_dir = os.path.join(path, seg_name)
+    if os.path.exists(seg_dir):
+        # leftover from a crash before the catalog commit; this
+        # attempt's data may differ, so never resume into it
+        shutil.rmtree(seg_dir)
     index = build_index(transcripts, **build_kwargs)
-    manifest = write_index(index, os.path.join(path, seg_name))
+    manifest = write_index(index, seg_dir)
     cat["segments"].append(
         {
             "name": seg_name,
@@ -647,10 +658,12 @@ def append_segment(
     )
     if applied_epoch is not None:
         cat["applied_epochs"] = cat.get("applied_epochs", []) + [
-            int(applied_epoch)
+            str(applied_epoch)
         ]
-    with open(cat_file, "w") as fh:
+    tmp = cat_file + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(cat, fh, indent=2)
+    os.replace(tmp, cat_file)
     return cat
 
 

@@ -177,10 +177,14 @@ def _open_for_range(path: str):
     from urllib.parse import unquote, urlparse
 
     parsed = urlparse(path)
-    if parsed.scheme in ("", "file"):
+    if parsed.scheme == "file":
         # binaryFile lists percent-encoded URIs ('my dump.xml' →
         # 'file:/.../my%20dump.xml'); unquote before open()
-        return open(unquote(parsed.path) or path, "rb")
+        return open(unquote(parsed.path), "rb")
+    if parsed.scheme == "":
+        # bare local path: taken literally (a file genuinely named
+        # with %20 must not be unquoted)
+        return open(path, "rb")
     from pyarrow import fs as pafs
 
     filesystem, rel = pafs.FileSystem.from_uri(path)

@@ -145,13 +145,24 @@ def incremental_index(
         spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
     )
 
+    import os
+
+    # epoch ids restart at 0 under a FRESH checkpoint — scope the
+    # idempotence token by the checkpoint identity so re-pointing an
+    # existing catalog at a new checkpoint doesn't silently skip its
+    # first micro-batches as "redeliveries" (the ledger only covers
+    # redelivery WITHIN one checkpoint; cross-checkpoint exactly-once
+    # is the checkpoint's own job)
+    ckpt_token = os.path.basename(os.path.normpath(checkpoint_path))
+
     def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from efficient_query_expansion_spark.operators.postings import (
             append_segment,
         )
 
         append_segment(
-            batch_df, catalog_path, applied_epoch=int(epoch_id),
+            batch_df, catalog_path,
+            applied_epoch=f"{ckpt_token}#{int(epoch_id)}",
             **build_kwargs,
         )
 
