@@ -27,8 +27,12 @@ Two physical plans, asserted equal in tests:
   ``applyInPandas`` per (qid, shard) group — doc-space sharding makes
   every group's memory bounded, hot query terms are split across
   shards, and the final merge is a cheap per-qid top-k window.
-  Block-max metadata gives an admissible upper bound used to skip
-  whole and_queries within a shard once k candidates beat the bound.
+  Block-max metadata (Ding & Suel's block-max WAND idea, SIGIR'11)
+  prunes at three granularities, all admissible and tie-correct:
+  whole and_queries (shard-level bound vs the local kth), whole
+  blocks of the driver (rarest) list (per-block bound vs kth), and
+  blocks of every other list that cover no surviving candidate
+  (never unpacked — the pfor codec is block-addressable).
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ from efficient_query_expansion_spark.operators.postings import (
     B,
     CODECS,
     K1,
+    bitpack_decode_blocks,
     delta_decode,
 )
 
@@ -241,15 +246,19 @@ def union_catalog_index(
     # integer total is recovered exactly via round(n * avg).
     num_docs = 0
     total_len = 0
+    seg_stats = []
     for seg in segments:
-        if "meta" in seg:
-            m = seg["meta"].collect()[0]
-            num_docs += int(m["num_docs"])
-            total_len += int(m["total_terms"])
+        if "meta_values" in seg:
+            # preferred: zero driver jobs (read_catalog batches all
+            # segment metas into one read and pre-fills these)
+            n = int(seg["meta_values"][0])
+            t = int(round(n * float(seg["meta_values"][1])))
         else:
-            n, a = int(seg["meta_values"][0]), float(seg["meta_values"][1])
-            num_docs += n
-            total_len += int(round(n * a))
+            m = seg["meta"].collect()[0]
+            n, t = int(m["num_docs"]), int(m["total_terms"])
+        num_docs += n
+        total_len += t
+        seg_stats.append((n, t))
     avg_len = total_len / num_docs if num_docs else 0.0
 
     dicts, posts, lens, docs = [], [], [], []
@@ -260,11 +269,33 @@ def union_catalog_index(
                 "term", (F.col("term_id") + off).alias("term_id"), "df"
             )
         )
-        posts.append(
-            seg["postings"].withColumn(
-                "term_id", F.col("term_id") + off
-            ).withColumn("shard", F.col("shard") + off)
-        )
+        p = seg["postings"].withColumn(
+            "term_id", F.col("term_id") + off
+        ).withColumn("shard", F.col("shard") + off)
+        # Admissibility repair for the block-max bounds: each segment
+        # stored part = tf/(tf + knorm(dl, avg_SEG)) at ITS avg, but
+        # catalog queries score at the GLOBAL avg. When avg_glob >
+        # avg_seg the true part exceeds the stored one:
+        #   part_glob/part_seg = (tf+knorm_seg)/(tf+knorm_glob)
+        #     <= knorm_seg/knorm_glob          (ratio falls as tf grows)
+        #     = (1-B+B*dl/avg_seg)/(1-B+B*dl/avg_glob)
+        #     <= avg_glob/avg_seg              (ratio rises with dl)
+        # so multiplying by avg_glob/avg_seg (capped at 1.0 — part is
+        # always < 1) restores a strict upper bound; when avg_glob <=
+        # avg_seg the stored bound is already admissible (just loose).
+        n_i, t_i = seg_stats[i]
+        avg_i = (t_i / n_i) if n_i else avg_len
+        scale = (avg_len / avg_i) if avg_i else 1.0
+        if scale > 1.0:
+            s = F.lit(float(scale))
+            p = p.withColumn(
+                "block_max_part",
+                F.transform(
+                    F.col("block_max_part"),
+                    lambda x: F.least(x * s, F.lit(1.0)),
+                ),
+            )
+        posts.append(p)
         lens.append(
             seg["doclens"].withColumn("shard", F.col("shard") + off)
         )
@@ -296,6 +327,7 @@ def catalog_topk(
     segments: list[dict],
     k: int = 10,
     doc_key: list[str] = DOC_KEY,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Exact top-k over a multi-segment catalog (incremental index,
     ``postings.append_segment``) — bit-identical scores to a
@@ -307,13 +339,29 @@ def catalog_topk(
     monolithically."""
     if len(segments) == 1:
         return sharded_topk(queries_long, segments[0], k=k,
-                            doc_key=doc_key)
+                            doc_key=doc_key, counters=counters)
     return sharded_topk(
         queries_long,
         union_catalog_index(segments, doc_key),
         k=k,
         doc_key=doc_key,
+        counters=counters,
     )
+
+
+def make_prune_counters(spark) -> dict:
+    """Spark accumulators for the WAND-skip observability counters
+    (pass as ``sharded_topk(..., counters=...)``; read ``.value``
+    after the action): ``andq_skipped`` = whole and_queries skipped by
+    the shard-level admissible bound, ``blocks_skipped`` /
+    ``blocks_decoded`` = per-128-posting blocks pruned vs unpacked by
+    the per-block skip."""
+    sc = spark.sparkContext
+    return {
+        "andq_skipped": sc.accumulator(0),
+        "blocks_skipped": sc.accumulator(0),
+        "blocks_decoded": sc.accumulator(0),
+    }
 
 
 def sharded_topk(
@@ -321,6 +369,7 @@ def sharded_topk(
     index: dict[str, DataFrame],
     k: int = 10,
     doc_key: list[str] = DOC_KEY,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Top-k from the compressed sharded index; rank-identical (and
     score-bit-identical) to :func:`exact_topk`. ``queries_long`` is
@@ -373,7 +422,7 @@ def sharded_topk(
     # cached instead.
     qpost = qterms.join(index["postings"], "term_id").select(
         "qid", "and_pos", "syn_pos", "term_id", "shard", "n",
-        "doc_gaps", "tfs", "block_max_part",
+        "doc_gaps", "tfs", "block_last", "block_max_part",
     )
 
     # synset union-df per (synset, shard): the union of posting
@@ -422,7 +471,8 @@ def sharded_topk(
         .withColumn("lens", F.lit(None).cast("binary"))
     )
     blob_rows = (
-        gcount.select("qid", "shard")  # cached; avoids a qpost re-scan
+        gcount.select("qid", "shard")  # blob-free agg; cheaper to
+        # recompute than re-scanning qpost's blob columns
         .distinct()
         .join(index["doclens"], "shard")
         .select(
@@ -434,6 +484,7 @@ def sharded_topk(
             F.lit(None).cast("long").alias("n"),
             F.lit(None).cast("binary").alias("doc_gaps"),
             F.lit(None).cast("binary").alias("tfs"),
+            F.lit(None).cast("array<long>").alias("block_last"),
             F.lit(None).cast("array<double>").alias("block_max_part"),
             F.lit(None).cast("long").alias("df_s"),
             F.lit(None).cast("int").alias("n_syn"),
@@ -442,6 +493,10 @@ def sharded_topk(
         )
     )
     with_lens = post_rows.select(*blob_rows.columns).unionByName(blob_rows)
+
+    # per-block skipping needs a block-addressable codec: pfor blobs
+    # carry per-block byte headers; varbyte does not (full decode).
+    block_skippable = index.get("codec", "varbyte") == "pfor"
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         num_docs, avg_len, k = bc.value
@@ -470,68 +525,180 @@ def sharded_topk(
         lens = dec(bytes(blob["lens"].iloc[0])).astype(np.float64)
         knorm = K1 * (1.0 - B + B * lens / avg_len)  # per doc-in-shard
 
+        n_blk_skip = n_blk_dec = n_andq_skip = 0
+
+        def merge_rows(ds, ts):
+            d = np.concatenate(ds)
+            t = np.concatenate(ts)
+            if len(ds) > 1:
+                ud, inv = np.unique(d, return_inverse=True)
+                ut = np.bincount(inv, weights=t).astype(np.int64)
+                d, t = ud, ut
+            return d, t
+
+        def decode_rows_full(sg):
+            nonlocal n_blk_dec
+            ds, ts = [], []
+            for _, row in sg.iterrows():
+                ds.append(delta_decode(dec(bytes(row["doc_gaps"]))))
+                ts.append(dec(bytes(row["tfs"])).astype(np.int64))
+                n_blk_dec += len(row["block_max_part"])
+            return merge_rows(ds, ts)
+
+        def decode_block_range(row, keep):
+            """Decode only blocks ``keep`` of one posting row; doc
+            ordinals of block b rebuild from block_last[b-1] + the
+            block's gap cumsum (delta keeps the absolute first id)."""
+            gap_b = bitpack_decode_blocks(bytes(row["doc_gaps"]), keep)
+            tf_b = bitpack_decode_blocks(bytes(row["tfs"]), keep)
+            bl = np.asarray(row["block_last"], dtype=np.uint64)
+            dparts, tparts = [], []
+            for b in keep.tolist():
+                base = bl[b - 1] if b > 0 else np.uint64(0)
+                dparts.append(
+                    base + np.cumsum(gap_b[b], dtype=np.uint64)
+                )
+                tparts.append(tf_b[b].astype(np.int64))
+            return np.concatenate(dparts), np.concatenate(tparts)
+
+        def decode_rows_at(sg, cand):
+            """Decode only blocks that can HOLD a candidate doc:
+            block_last locates each candidate's covering block via
+            searchsorted; all other blocks are skipped unread."""
+            nonlocal n_blk_skip, n_blk_dec
+            ds, ts = [], []
+            for _, row in sg.iterrows():
+                bl = np.asarray(row["block_last"], dtype=np.uint64)
+                nb = len(bl)
+                bi = np.searchsorted(bl, cand, side="left")
+                bi = np.unique(bi[bi < nb])
+                if bi.size == 0:
+                    n_blk_skip += nb
+                    continue
+                if bi.size == nb:
+                    ds.append(delta_decode(dec(bytes(row["doc_gaps"]))))
+                    ts.append(dec(bytes(row["tfs"])).astype(np.int64))
+                    n_blk_dec += nb
+                    continue
+                d, t = decode_block_range(row, bi)
+                ds.append(d)
+                ts.append(t)
+                n_blk_dec += int(bi.size)
+                n_blk_skip += nb - int(bi.size)
+            if not ds:
+                return None, None
+            return merge_rows(ds, ts)
+
         best: dict[int, float] = {}
-        # process and_queries; maintain a local kth-threshold for the
-        # block-max admissible skip
-        groups = list(pdf.groupby("and_pos"))
-        for and_pos, g in groups:
+        # and_queries in and_pos order; a local kth threshold feeds
+        # the admissible skips once k candidates exist
+        for and_pos, g in pdf.groupby("and_pos"):
             n_syn = n_syn_map[int(and_pos)]
             syn_groups = list(g.groupby("syn_pos"))
             if len(syn_groups) < n_syn:
                 continue  # some synset has no postings anywhere/here
-            # admissible upper bound from block-max metadata
+            # per-synset idf + admissible shard-level part bound.
+            # Multi-member synsets SUM member tfs and part() is
+            # concave from 0 (subadditive): part(Σtf) <= Σ part(tf_r),
+            # so the bound is the SUM of per-row block maxes capped at
+            # 1.0 — a max over rows understates when one doc holds
+            # several member terms and would prune wrongly.
+            idfs: dict[int, float] = {}
+            sbound: dict[int, float] = {}
+            for syn_pos, sg in syn_groups:
+                dfs = df_s_map[(int(and_pos), int(syn_pos))]
+                idfs[int(syn_pos)] = idf_py(dfs, num_docs)
+                sbound[int(syn_pos)] = min(
+                    1.0,
+                    sum(float(max(bm)) for bm in sg["block_max_part"]),
+                )
+            kth = None
             if len(best) >= k:
                 kth = sorted(best.values(), reverse=True)[k - 1]
-                ub = 0.0
-                for syn_pos, sg in syn_groups:
-                    dfs = df_s_map[(int(and_pos), int(syn_pos))]
-                    ub += idf_py(dfs, num_docs) * max(
-                        float(max(bm)) for bm in sg["block_max_part"]
-                    )
+                ub = sum(idfs[s] * sbound[s] for s in idfs)
                 # strict: a pruned and_query could otherwise hide a
                 # doc whose exact score EQUALS kth but wins the
                 # (score, conv_id, turn_idx) tie-break
                 if ub < kth:
+                    n_andq_skip += 1
                     continue
-            # decode + merge each synset, intersect progressively
-            syn_data = []
-            for syn_pos, sg in syn_groups:
-                arrs, tfs_ = [], []
-                for _, row in sg.iterrows():
-                    arrs.append(
-                        delta_decode(dec(bytes(row["doc_gaps"])))
-                    )
-                    tfs_.append(
-                        dec(bytes(row["tfs"])).astype(np.int64)
-                    )
-                d = np.concatenate(arrs)
-                t = np.concatenate(tfs_)
-                if len(arrs) > 1:
-                    ud, inv = np.unique(d, return_inverse=True)
-                    ut = np.bincount(inv, weights=t).astype(np.int64)
-                    d, t = ud, ut
-                dfs = df_s_map[(int(and_pos), int(syn_pos))]
-                syn_data.append((int(syn_pos), d, t, idf_py(dfs, num_docs)))
-            syn_data.sort(key=lambda x: len(x[1]))
-            inter = syn_data[0][1]
-            for _, d, _t, _i in syn_data[1:]:
-                inter = inter[np.isin(inter, d, assume_unique=True)]
-                if inter.size == 0:
+            # drive the intersection from the rarest synset; each
+            # later synset decodes ONLY blocks covering survivors
+            order = sorted(
+                syn_groups, key=lambda kv: int(kv[1]["n"].sum())
+            )
+            syn_data: dict[int, tuple] = {}
+            cand = None
+            for syn_pos, sg in order:
+                sp = int(syn_pos)
+                if cand is None:
+                    d = t = None
+                    if (
+                        kth is not None
+                        and block_skippable
+                        and len(sg) == 1
+                    ):
+                        # per-block WAND skip on the driver list:
+                        # docs of block b score at most
+                        # idf_d*bmax[b] + Σ_other idf*shard_bound —
+                        # blocks strictly below kth never decode
+                        row = sg.iloc[0]
+                        bmax = np.asarray(
+                            row["block_max_part"], dtype=np.float64
+                        )
+                        rest = sum(
+                            idfs[s] * sbound[s]
+                            for s in idfs if s != sp
+                        )
+                        keep = np.flatnonzero(
+                            idfs[sp] * bmax + rest >= kth
+                        )
+                        nb = len(bmax)
+                        if keep.size == 0:
+                            n_blk_skip += nb
+                            cand = np.empty(0, dtype=np.uint64)
+                            break
+                        if keep.size < nb:
+                            d, t = decode_block_range(row, keep)
+                            n_blk_dec += int(keep.size)
+                            n_blk_skip += nb - int(keep.size)
+                    if d is None:
+                        d, t = decode_rows_full(sg)
+                    cand = d
+                else:
+                    if block_skippable:
+                        d, t = decode_rows_at(sg, cand)
+                    else:
+                        d, t = decode_rows_full(sg)
+                    if d is None:
+                        cand = np.empty(0, dtype=np.uint64)
+                        break
+                    cand = cand[np.isin(cand, d, assume_unique=True)]
+                syn_data[sp] = (d, t)
+                if cand.size == 0:
                     break
-            if inter.size == 0:
+            if cand is None or cand.size == 0:
                 continue
-            # score in syn_pos order (deterministic fold)
-            syn_data.sort(key=lambda x: x[0])
-            pos_in_shard = np.searchsorted(ords, inter)
-            score = np.zeros(inter.size, dtype=np.float64)
-            for _sp, d, t, idf in syn_data:
-                ix = np.searchsorted(d, inter)
+            # score survivors in syn_pos order (deterministic fold);
+            # every survivor is present in each synset's decoded
+            # arrays by construction (its covering block was kept)
+            pos_in_shard = np.searchsorted(ords, cand)
+            score = np.zeros(cand.size, dtype=np.float64)
+            for sp in sorted(syn_data):
+                d, t = syn_data[sp]
+                ix = np.searchsorted(d, cand)
                 tf_s = t[ix].astype(np.float64)
-                score = score + idf * (tf_s / (tf_s + knorm[pos_in_shard]))
-            for doc, sc in zip(inter.tolist(), score.tolist()):
+                score = score + idfs[sp] * (
+                    tf_s / (tf_s + knorm[pos_in_shard])
+                )
+            for doc, sc in zip(cand.tolist(), score.tolist()):
                 prev = best.get(doc)
                 if prev is None or sc > prev:
                     best[doc] = sc
+        if counters is not None:
+            counters["andq_skipped"].add(n_andq_skip)
+            counters["blocks_skipped"].add(n_blk_skip)
+            counters["blocks_decoded"].add(n_blk_dec)
         if not best:
             return pd.DataFrame(
                 columns=["qid", "shard", "doc_ordinal", "score"]

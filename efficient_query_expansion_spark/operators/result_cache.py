@@ -30,11 +30,19 @@ RESULTS_SCHEMA = (
 
 
 class ResultCache:
-    """Persisted CNF→result cache (parquet segment per flush)."""
+    """Persisted CNF→result cache (parquet segment per flush).
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``key_prefix`` scopes every cache key — the catalog serving path
+    (:func:`serve_catalog_cached`) passes the catalog's lineage
+    fingerprint so results cached against one segment composition can
+    never serve another: appends/compactions change the lineage and
+    the old entries become dead weight instead of wrong answers."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 key_prefix: str = ""):
         self.spark = spark
         self.path = path
+        self.key_prefix = key_prefix
 
     def _load(self) -> DataFrame | None:
         if not os.path.exists(self.path):
@@ -50,7 +58,8 @@ class ResultCache:
         """Answer every query, serving cached keys from the results
         table and evaluating only the misses (one batched job)."""
         keys = {
-            qid: query_repr_to_cnf_string(r) for qid, r in qid_to_repr.items()
+            qid: self.key_prefix + query_repr_to_cnf_string(r)
+            for qid, r in qid_to_repr.items()
         }
         cached = self._load()
         hit_keys: set[str] = set()
@@ -128,3 +137,59 @@ class ResultCache:
                 "rank", "num_ret", "exe_time",
             )
         )
+
+
+def catalog_lineage(cat: dict) -> str:
+    """Stable fingerprint of a catalog's segment composition: segment
+    ids are monotonic and never recycled (``postings._next_seg_id``),
+    so the ordered name list uniquely identifies the exact document
+    set AND its physical layout — any append or compaction yields a
+    new lineage."""
+    import hashlib
+    import json
+
+    names = [s["name"] for s in cat.get("segments", [])]
+    return hashlib.sha1(
+        json.dumps(names).encode()
+    ).hexdigest()[:16]
+
+
+def serve_catalog_cached(
+    spark: SparkSession,
+    catalog_path: str,
+    qid_to_repr: dict,
+    cache_path: str,
+    k: int = 10,
+) -> DataFrame:
+    """Serving session over a segment catalog with a warm result
+    cache: cache keys are (catalog lineage, canonical CNF), so
+    repeated queries against an UNCHANGED catalog are answered from
+    the results table (one broadcast-join read, no scoring pass),
+    while an append or compaction rotates the lineage and every query
+    re-evaluates against the new corpus — correct by construction,
+    no explicit invalidation protocol.  The reference keeps the same
+    cache keyed by canonical CNF alone because its index is immutable
+    (index_cache.py:88-97); the lineage prefix is what makes the idea
+    safe on a mutable catalog."""
+    import json
+    import os
+
+    from efficient_query_expansion_spark.operators.bm25 import (
+        union_catalog_index,
+    )
+    from efficient_query_expansion_spark.operators.postings import (
+        read_catalog,
+    )
+
+    with open(os.path.join(catalog_path, "catalog.json")) as fh:
+        cat = json.load(fh)
+    segments = read_catalog(spark, catalog_path)
+    index = (
+        segments[0]
+        if len(segments) == 1
+        else union_catalog_index(segments)
+    )
+    cache = ResultCache(
+        spark, cache_path, key_prefix=catalog_lineage(cat) + "\x1f"
+    )
+    return cache.get_performance(qid_to_repr, index, k=k)

@@ -129,6 +129,8 @@ def incremental_index(
     catalog_path: str,
     checkpoint_path: str,
     trigger_once: bool = True,
+    max_segments: int | None = None,
+    max_files_per_trigger: int | None = None,
     **build_kwargs,
 ):
     """Stream transcript parquet drops → a growing segment catalog
@@ -140,11 +142,23 @@ def incremental_index(
     itself (``applied_epoch``): redelivered micro-batches after a
     checkpoint-commit failure resume or no-op, never double-append.
     Returns the StreamingQuery (caller stops it / awaits).
-    """
-    stream = (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
-    )
 
+    ``max_segments`` (round 5) bounds segment-count growth for a
+    standing stream: after each append the catalog compacts back to
+    the cap via ``postings.compact_catalog`` (tiered smallest-first
+    merge, crash-safe commit, ledger preserved, queries stay
+    bit-identical) — without it, a per-micro-batch append policy
+    grows the catalog without bound.
+    """
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch (and thereby each appended segment)
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    stream = reader.parquet(input_path)
+
+    import hashlib
     import os
 
     # epoch ids restart at 0 under a FRESH checkpoint — scope the
@@ -152,12 +166,18 @@ def incremental_index(
     # existing catalog at a new checkpoint doesn't silently skip its
     # first micro-batches as "redeliveries" (the ledger only covers
     # redelivery WITHIN one checkpoint; cross-checkpoint exactly-once
-    # is the checkpoint's own job)
-    ckpt_token = os.path.basename(os.path.normpath(checkpoint_path))
+    # is the checkpoint's own job). Hash the FULL normalized path —
+    # two checkpoints sharing a basename (.../jobA/ckpt, .../jobB/ckpt)
+    # must not collide, or real micro-batches get dropped as
+    # redeliveries.
+    ckpt_token = hashlib.sha1(
+        os.path.abspath(os.path.normpath(checkpoint_path)).encode()
+    ).hexdigest()[:12]
 
     def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from efficient_query_expansion_spark.operators.postings import (
             append_segment,
+            compact_catalog,
         )
 
         append_segment(
@@ -165,6 +185,11 @@ def incremental_index(
             applied_epoch=f"{ckpt_token}#{int(epoch_id)}",
             **build_kwargs,
         )
+        if max_segments is not None:
+            compact_catalog(
+                batch_df.sparkSession, catalog_path,
+                max_segments=max_segments, **build_kwargs,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(append_batch)

@@ -418,6 +418,194 @@ def test_segment_catalog_append_and_bit_identity(
         assert g[qid] == w[qid], f"qid {qid}: catalog != monolithic"
 
 
+def test_catalog_compaction_bit_identity(
+    spark, transcripts_tiny, built_index, tmp_path_factory
+):
+    """Round-5 tiered compaction: 6 interleaved appends → compact to
+    3 segments.  The compacted catalog must stay bit-identical to the
+    monolithic index (per-doc tfs and doc_lens are integers, so the
+    decode-and-rebuild merge loses nothing), the epoch ledger must
+    ride through the compaction commit, victims must leave the disk,
+    the merged segment takes a NEVER-RECYCLED id, and catalog-open
+    Spark jobs stay O(1) in segment count (one batched meta read)."""
+    import os
+
+    from efficient_query_expansion_spark.operators.bm25 import (
+        catalog_topk,
+        union_catalog_index,
+    )
+    from efficient_query_expansion_spark.operators.postings import (
+        append_segment,
+        compact_catalog,
+        read_catalog,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("catalog_compact"))
+    convs = sorted(
+        r["conv_id"]
+        for r in transcripts_tiny.select("conv_id").distinct().collect()
+    )
+    sixths = [set(convs[i::6]) for i in range(6)]
+    pats = spark.createDataFrame(
+        [
+            (t[0],)
+            for r in QUERY_REPRS.values()
+            for aq in r
+            for syn in aq
+            for t in syn
+            if " " in t[0]
+        ],
+        "pattern string",
+    )
+    for i, part in enumerate(sixths):
+        append_segment(
+            transcripts_tiny.where(F.col("conv_id").isin(part)),
+            path, applied_epoch=f"tck#{i}", patterns=pats,
+            shard_size=64,
+        )
+
+    # catalog-open driver-job count must be CONSTANT in segment
+    # count: one batched meta job + one shared schema inference per
+    # component (5), never per-segment work (pre-fix: 30+ jobs here)
+    sc = spark.sparkContext
+
+    def open_jobs(group):
+        sc.setJobGroup(group, "catalog open")
+        segs = read_catalog(spark, path)
+        union_catalog_index(segs)
+        sc.setJobGroup("other", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    jobs6 = open_jobs("catopen6")
+    assert jobs6 <= 8, f"catalog open ran {jobs6} jobs at 6 segments"
+
+    cat = compact_catalog(spark, path, max_segments=3, shard_size=64)
+    assert len(cat["segments"]) == 3
+    # ledger survives the compaction commit
+    assert cat["applied_epochs"] == [f"tck#{i}" for i in range(6)]
+    names = [s["name"] for s in cat["segments"]]
+    assert names[-1] == "seg-00006"  # monotonic, never recycled
+    merged_from = cat["segments"][-1]["lineage"]["compacted_from"]
+    assert len(merged_from) == 4  # 6 - 3 + 1 smallest merged into one
+    # victims are gone; only live segments remain on disk
+    on_disk = sorted(
+        d for d in os.listdir(path) if d.startswith("seg-")
+    )
+    assert on_disk == sorted(names)
+
+    jobs3 = open_jobs("catopen3")
+    assert jobs3 == jobs6, (
+        f"catalog open is not O(1) in segments: {jobs6} jobs at 6,"
+        f" {jobs3} at 3"
+    )
+
+    segments = read_catalog(spark, path)
+    qlong = query_reprs_to_long_df(spark, QUERY_REPRS)
+    got = catalog_topk(qlong, segments, k=10).collect()
+    want = sharded_topk(qlong, built_index, k=10).collect()
+
+    def keyed(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["qid"], []).append(
+                (r["rank"], r["conv_id"], r["turn_idx"], r["score"])
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    g, w = keyed(got), keyed(want)
+    assert set(g) == set(w)
+    for qid in w:
+        assert g[qid] == w[qid], f"qid {qid}: compacted != monolithic"
+
+    # idempotent: already at the cap → no-op
+    cat2 = compact_catalog(spark, path, max_segments=3)
+    assert [s["name"] for s in cat2["segments"]] == names
+
+    # a later append continues the monotonic id sequence
+    cat3 = append_segment(
+        transcripts_tiny.limit(0), path
+    )  # empty no-op keeps ids
+    assert cat3["next_seg"] == 7
+
+
+def test_doc_key_bloom_roundtrip():
+    """Bloom summary unit properties: every inserted key is
+    maybe-present (no false negatives, the correctness-critical
+    direction) and the false-positive rate on fresh keys stays near
+    the designed ~1%."""
+    import numpy as np
+    import pandas as pd
+
+    from efficient_query_expansion_spark.operators.postings import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_K,
+        _bloom_positions,
+        bloom_might_contain,
+    )
+    import struct
+
+    keys = [f"conv{i:05d}\x1f{i % 7}" for i in range(2000)]
+    m = len(keys) * BLOOM_BITS_PER_KEY
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    pos = _bloom_positions(keys, m).ravel()
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    blob = struct.pack("<QI", m, BLOOM_K) + bits.tobytes()
+
+    assert bloom_might_contain(blob, keys).all()
+    fresh = [f"other{i:05d}\x1f0" for i in range(2000)]
+    fpp = bloom_might_contain(blob, fresh).mean()
+    assert fpp < 0.05, f"false-positive rate {fpp} too high"
+
+
+def test_catalog_validate_disjoint(
+    spark, transcripts_tiny, tmp_path_factory
+):
+    """Enforceable doc-disjointness: an overlapping validated append
+    raises (catalog untouched — no new segment on disk or in the
+    ledger), a genuinely-new validated append succeeds."""
+    import os
+
+    import pytest as _pytest
+
+    from efficient_query_expansion_spark.operators.postings import (
+        append_segment,
+        read_catalog,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("catalog_valid"))
+    convs = sorted(
+        r["conv_id"]
+        for r in transcripts_tiny.select("conv_id").distinct().collect()
+    )
+    half = set(convs[: len(convs) // 2])
+    first = transcripts_tiny.where(F.col("conv_id").isin(half))
+    rest = transcripts_tiny.where(~F.col("conv_id").isin(half))
+
+    append_segment(first, path, shard_size=64)
+    assert os.path.exists(os.path.join(path, "seg-00000", "_keys.bloom"))
+
+    # overlapping append (one conv already in seg-00000) must raise
+    overlap_conv = sorted(half)[0]
+    bad = transcripts_tiny.where(
+        F.col("conv_id").isin({overlap_conv} | set(convs[-2:]) - half)
+    )
+    with _pytest.raises(ValueError, match="overlaps segment seg-00000"):
+        append_segment(bad, path, validate_disjoint=True, shard_size=64)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("seg-")
+    ) == ["seg-00000"]
+
+    # disjoint validated append succeeds
+    cat = append_segment(rest, path, validate_disjoint=True,
+                         shard_size=64)
+    assert [s["name"] for s in cat["segments"]] == [
+        "seg-00000", "seg-00001",
+    ]
+    assert len(read_catalog(spark, path)) == 2
+
+
 def test_segment_catalog_empty_increment_is_noop(
     spark, transcripts_tiny, tmp_path_factory
 ):

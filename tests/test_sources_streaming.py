@@ -437,3 +437,74 @@ def test_incremental_index_stream_builds_catalog(spark, tmp_path):
         t.limit(4), cat_path, applied_epoch=epoch, shard_size=128
     )
     assert len(cat2["segments"]) == n_seg
+
+
+def test_streaming_catalog_auto_compaction(spark, tmp_path):
+    """Round-5 standing-ingestion shape: 8 one-file micro-batches
+    with ``max_segments=3`` — the stream compacts as it appends, the
+    final catalog holds ≤3 segments, the epoch ledger records all 8
+    micro-batches, and queries are bit-identical to a monolithic
+    index over every turn."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from efficient_query_expansion_spark.fixtures import (
+        spark_transcripts,
+    )
+    from efficient_query_expansion_spark.operators.bm25 import (
+        catalog_topk,
+        sharded_topk,
+    )
+    from efficient_query_expansion_spark.operators.cnf import (
+        query_reprs_to_long_df,
+    )
+    from efficient_query_expansion_spark.operators.postings import (
+        build_index,
+        read_catalog,
+    )
+    from efficient_query_expansion_spark.streaming.incremental import (
+        incremental_index,
+    )
+
+    t = spark_transcripts(spark, n_convs=16)
+    convs = sorted(
+        r["conv_id"] for r in t.select("conv_id").distinct().collect()
+    )
+    inp = str(tmp_path / "in")
+    for i in range(8):
+        part = set(convs[i::8])
+        t.where(F.col("conv_id").isin(part)).coalesce(1).write.parquet(
+            inp + f"/drop{i}.parquet"
+        )
+    cat_path = str(tmp_path / "catalog")
+    q = incremental_index(
+        spark, inp + "/*", cat_path, str(tmp_path / "ckpt"),
+        shard_size=128, max_segments=3, max_files_per_trigger=1,
+        num_partitions=2,
+    )
+    q.awaitTermination(300)
+
+    with open(os.path.join(cat_path, "catalog.json")) as fh:
+        cat = json.load(fh)
+    assert len(cat["segments"]) <= 3
+    assert len(cat["applied_epochs"]) == 8  # every micro-batch applied
+    # compaction happened at least once and ids never recycle
+    assert any(
+        "compacted_from" in s["lineage"] for s in cat["segments"]
+    )
+
+    segments = read_catalog(spark, cat_path)
+    qrepr = {0: [[[("car",), ("auto",)]]], 1: [[[("fast",)]]]}
+    ql = query_reprs_to_long_df(spark, qrepr)
+    got = {
+        (r["qid"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
+        for r in catalog_topk(ql, segments, k=5).collect()
+    }
+    mono = build_index(t, shard_size=128)
+    want = {
+        (r["qid"], r["rank"]): (r["conv_id"], r["turn_idx"], r["score"])
+        for r in sharded_topk(ql, mono, k=5).collect()
+    }
+    assert got == want  # bit-identical incl. float64 scores
