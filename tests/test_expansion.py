@@ -540,6 +540,39 @@ def test_frozen_morph_lexicon_classics_and_consistency(spark):
             assert rows[lemma][1] == plural, (term, lemma, plural)
 
 
+def test_morph_lexicon_fixture_hit_rate(spark):
+    """Round-5 coverage audit: the lexicon must cover (nearly) the
+    whole closed fixture vocabulary the engine's lifecycle/serving
+    paths expand over — round 4 measured only ~30%, i.e. the
+    RuleMorph fallback (meant as the OOV exception) dominated.  The
+    generator now folds the fixture vocabulary in; hold the floor at
+    95% so vocabulary growth without regeneration fails loudly."""
+    from efficient_query_expansion_spark.expansion import (
+        load_morph_lexicon,
+    )
+    from efficient_query_expansion_spark.fixtures import (
+        CONTENT_WORDS,
+        ENTITIES,
+        NOISE_WORDS,
+    )
+
+    lx = {r["term"] for r in load_morph_lexicon(spark).collect()}
+    vocab = set(CONTENT_WORDS) | set(NOISE_WORDS)
+    vocab |= {
+        w
+        for aliases in ENTITIES.values()
+        for alias in aliases
+        for w in alias.split()
+    }
+    vocab = {w for w in vocab if w.isalpha() and len(w) >= 2}
+    rate = len(vocab & lx) / len(vocab)
+    assert rate >= 0.95, (
+        f"lexicon hit rate {rate:.2f} on the fixture vocabulary;"
+        f" regenerate via scripts/build_morph_lexicon.py"
+        f" (misses: {sorted(vocab - lx)[:20]})"
+    )
+
+
 def test_morph_lexicon_boundary_fuzz(spark):
     """Fuzz the lexicon/fallback boundary: for every sampled lexicon
     entry the broadcast join must return the LEXICON value (even

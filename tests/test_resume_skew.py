@@ -45,6 +45,75 @@ def test_hot_term_split_across_shards(spark, skewed_corpus):
     assert sum(r["n"] for r in rows) == 300  # df preserved
 
 
+def test_hot_term_bound_at_scale_through_catalog(spark, tmp_path):
+    """Round-5 sf1-shape skew probe: a pathological df≈corpus term
+    planted in 50k docs, appended in two catalog increments.  The
+    per-(term, shard) posting bound must hold in EVERY segment AND
+    survive catalog fusion (union never merges blobs), the per-row
+    blob bytes must stay proportional to the shard cap (not the
+    corpus), and the hot-term query must still answer."""
+    from efficient_query_expansion_spark.operators.bm25 import (
+        catalog_topk,
+    )
+    from efficient_query_expansion_spark.operators.cnf import (
+        query_reprs_to_long_df,
+    )
+    from efficient_query_expansion_spark.operators.postings import (
+        append_segment,
+        read_catalog,
+    )
+    from efficient_query_expansion_spark.operators.bm25 import (
+        union_catalog_index,
+    )
+
+    n_docs, shard_size = 50_000, 1024
+    # JVM-side synthesis: every doc holds the hot term + unique filler
+    t = (
+        spark.range(n_docs)
+        .select(
+            F.format_string("c%07d", F.col("id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.format_string(
+                "hotzz fill%07d pad%07d", F.col("id"), F.col("id")
+            ).alias("text"),
+            F.lit("").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    path = str(tmp_path / "cat")
+    append_segment(
+        t.where(F.col("conv_id") < "c0025000"), path,
+        shard_size=shard_size, num_partitions=4,
+    )
+    append_segment(
+        t.where(F.col("conv_id") >= "c0025000"), path,
+        shard_size=shard_size, num_partitions=4,
+    )
+    fused = union_catalog_index(read_catalog(spark, path))
+    hot_rows = (
+        fused["postings"]
+        .join(
+            fused["dictionary"].where(F.col("term") == "hotzz").select(
+                "term_id"
+            ),
+            "term_id",
+        )
+        .select("shard", "n", F.length("doc_gaps").alias("gap_bytes"))
+        .collect()
+    )
+    assert len(hot_rows) >= n_docs // shard_size  # genuinely split
+    assert all(r["n"] <= shard_size for r in hot_rows)
+    assert sum(r["n"] for r in hot_rows) == n_docs  # df preserved
+    # blob bytes bounded by the shard cap, not the corpus (pfor
+    # worst case well under 10 B/posting on dense ordinals)
+    assert all(r["gap_bytes"] <= shard_size * 10 for r in hot_rows)
+
+    ql = query_reprs_to_long_df(spark, {0: [[[("hotzz",)]]]})
+    got = catalog_topk(ql, read_catalog(spark, path), k=5).collect()
+    assert len(got) == 5
+
+
 def test_shard_level_resume(spark, skewed_corpus, tmp_path):
     idx = build_index(skewed_corpus, shard_size=64)
     path = str(tmp_path / "idx")
