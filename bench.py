@@ -197,6 +197,108 @@ def run_queries(spark, index, timings: dict) -> None:
     timings["wand_andq_skipped"] = int(counters["andq_skipped"].value)
 
 
+def run_wand_skew(spark, timings: dict) -> dict:
+    """Block-max WAND on a SKEWED corpus (round 5): the replicated
+    reference corpus is block-uniform (tf 1-3, similar lengths), so
+    its block bounds never drop below kth and the per-block skip —
+    correctly — never fires there (`wand_blocks_skipped` = 0 on the
+    headline batch).  Real corpora are skewed; this stage plants the
+    skew the skip exists for: a 10%-df term whose postings are weak
+    (tf=1, long docs) except for a few strong spikes (tf=5, short
+    docs), queried in OR with a rare high-idf term that sets kth
+    between the weak and strong block bounds.  Reports blocks
+    skipped/decoded and the batch seconds over 16 such queries."""
+    from efficient_query_expansion_spark.operators.bm25 import (
+        make_prune_counters,
+        sharded_topk,
+    )
+    from efficient_query_expansion_spark.operators.cnf import (
+        query_reprs_to_long_df,
+    )
+    from efficient_query_expansion_spark.operators.postings import (
+        build_index,
+    )
+    from pyspark.sql import functions as F
+
+    n_docs = 100_000
+
+    # fillers only pad doc lengths; draw them from a BOUNDED 5k-term
+    # vocabulary (never queried). Unique-per-doc fillers would mint
+    # ~1M singleton dictionary terms — that regime is real (urls,
+    # ids, typos) and is handled by the build's adaptive streamed
+    # assembly (postings.POSTINGS_STREAM_MIN_TERMS), but it belongs
+    # to the build benchmark; THIS stage benchmarks query-time block
+    # skipping, so keep the build part small and fast.
+    def filler(n):
+        return F.expr(
+            "concat_ws(' ', transform(sequence(1, "
+            f"{n}), j -> concat('w', (id * 37 + j * 101) % 5000)))"
+        )
+
+    t = spark.range(n_docs).select(
+        F.format_string("c%07d", F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.when(
+            F.col("id") % 5000 == 1,  # strong spikes: tf=5, len 7
+            F.concat(
+                F.lit("hotzz hotzz hotzz hotzz hotzz "), filler(2)
+            ),
+        )
+        .when(
+            F.col("id") % 10 == 1,  # weak hot: tf=1, len 40
+            F.concat(F.lit("hotzz "), filler(39)),
+        )
+        .when(
+            # 16 rare terms, ~32 mid-length docs each, ~4 per shard:
+            # their identical scores set kth BETWEEN the weak and
+            # strong hot-block bounds, which is the skip's trigger
+            F.col("id") % 3125 < 16,
+            F.concat(
+                F.format_string("rarezz%d ", F.col("id") % 3125),
+                filler(149),
+            ),
+        )
+        .otherwise(filler(8))
+        .alias("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    idx = build_index(t, shard_size=1 << 14, num_partitions=4)
+    # materialize before timing (a lazy index would re-run the build
+    # under every scoring action, timing the build not the query)
+    idx["postings"] = idx["postings"].persist()
+    idx["doclens"] = idx["doclens"].persist()
+    idx["postings"].count()
+    idx["doclens"].count()
+    reprs = {
+        q: [[[(f"rarezz{q}",)]], [[("hotzz",)]]] for q in range(16)
+    }
+    qlong = query_reprs_to_long_df(spark, reprs)
+    counters = make_prune_counters(spark)
+    # warm-up (JIT/broadcast), then the timed counted run
+    sharded_topk(qlong, idx, k=3).count()
+    t0 = time.time()
+    n = sharded_topk(qlong, idx, k=3, counters=counters).count()
+    dt = time.time() - t0
+    assert n > 0
+    idx["postings"].unpersist()
+    idx["doclens"].unpersist()
+    skipped = int(counters["blocks_skipped"].value)
+    decoded = int(counters["blocks_decoded"].value)
+    timings["wand_skew_batch16"] = round(dt, 3)
+    timings["wand_skew_blocks_skipped"] = skipped
+    timings["wand_skew_blocks_decoded"] = decoded
+    for frame in idx.get("_persisted", []):
+        frame.unpersist()
+    return {
+        "seconds": round(dt, 3),
+        "blocks_skipped": skipped,
+        "blocks_decoded": decoded,
+        "skip_fraction": round(skipped / max(skipped + decoded, 1), 3),
+    }
+
+
 def run_stats(spark, timings: dict) -> None:
     from efficient_query_expansion_spark.operators.stats import pair_stats
     from efficient_query_expansion_spark.operators.tokenize import (
@@ -745,6 +847,7 @@ def main() -> None:
         spark, timings, rounds
     )
     run_queries(spark, index, timings)
+    result["wand_skew"] = run_wand_skew(spark, timings)
     run_stats(spark, timings)
     result["ann_recall"] = run_ann(spark, timings)
     result["lifecycle"] = run_lifecycle(spark, index, timings)

@@ -45,6 +45,10 @@ K1 = 0.9
 B = 0.4
 BLOCK = 128
 DEFAULT_SHARD_SIZE = 1 << 20
+# vocabulary size above which posting assembly switches from
+# per-group applyInPandas to the sorted mapInPandas stream (see the
+# measured crossover note in build_index_from_tdf)
+POSTINGS_STREAM_MIN_TERMS = 100_000
 
 
 # ---------------------------------------------------------------------------
@@ -445,6 +449,10 @@ def build_index_from_tdf(
     persisted = [docs]
     dictionary = build_term_dictionary(tdf, persisted).persist()
     persisted.append(dictionary)
+    # vocabulary size drives the posting-assembly strategy below; the
+    # count also materializes the (persisted) dictionary that the
+    # posting join is about to read anyway
+    n_terms = dictionary.count()
 
     postings_src = (
         tdf.join(docs, doc_key)
@@ -500,18 +508,66 @@ def build_index_from_tdf(
             ],
         )
 
-    postings = (
-        postings_src.repartition("term_id", "shard")
-        .groupBy("term_id", "shard")
-        .applyInPandas(
-            lambda _key, pdf: assemble(pdf),
-            schema=(
-                "term_id long, shard long, n long, doc_gaps binary,"
-                " tfs binary, block_last array<long>,"
-                " block_max_part array<double>"
-            ),
-        )
+    def assemble_stream(batches):
+        """Amortized grouping: hash-partitioned on (term_id, shard)
+        and partition-sorted, every group is CONTIGUOUS — one
+        mapInPandas pass with an incomplete-tail carry between Arrow
+        batches replaces one python/Arrow invocation PER group.
+        Groups larger than an Arrow batch (hot terms up to
+        shard_size rows) accumulate in the carry."""
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            tid = pdf["term_id"].to_numpy()
+            sh = pdf["shard"].to_numpy()
+            # the trailing group may continue in the next batch; keys
+            # are sorted so it is a suffix — split it off as carry
+            tail = (tid == tid[-1]) & (sh == sh[-1])
+            start = int(tail.argmax())
+            carry = pdf.iloc[start:]
+            if start:
+                yield assemble(pdf.iloc[:start])
+        if carry is not None and len(carry):
+            yield assemble(carry)
+
+    POSTINGS_SCHEMA = (
+        "term_id long, shard long, n long, doc_gaps binary,"
+        " tfs binary, block_last array<long>,"
+        " block_max_part array<double>"
     )
+    # Adaptive assembly strategy (round 5), chosen by the dictionary
+    # size the build has already computed. Measured on this host,
+    # identical output rows:
+    #   closed ~150-term vocab, 11.6M src rows, 992 groups:
+    #     grouped applyInPandas 1.9-2.7 s, streamed 4.3 s (the
+    #     explicit sort + python batch scan lose to few huge groups);
+    #   adversarial 1.1M-singleton vocab (urls/ids/typos shape):
+    #     grouped NEVER FINISHED in 9.5 min (one python/Arrow
+    #     invocation per group), streamed 34 s.
+    # Web corpora are Zipfian with singleton-heavy tails, so both
+    # regimes are real; the dictionary count picks per build.
+    if n_terms < POSTINGS_STREAM_MIN_TERMS:
+        postings = (
+            postings_src.repartition("term_id", "shard")
+            .groupBy("term_id", "shard")
+            .applyInPandas(
+                lambda _key, pdf: assemble(pdf),
+                schema=POSTINGS_SCHEMA,
+            )
+        )
+    else:
+        n_part = (
+            postings_src.sparkSession.sparkContext.defaultParallelism
+        )
+        postings = (
+            postings_src.repartition(n_part, "term_id", "shard")
+            .sortWithinPartitions("term_id", "shard", "doc_ordinal")
+            .mapInPandas(assemble_stream, schema=POSTINGS_SCHEMA)
+        )
 
     def assemble_lens(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []

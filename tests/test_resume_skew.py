@@ -114,6 +114,34 @@ def test_hot_term_bound_at_scale_through_catalog(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_posting_assembly_strategies_identical(spark, skewed_corpus):
+    """Round-5 adaptive assembly: the per-group applyInPandas path
+    (small vocab) and the sorted mapInPandas stream (huge vocab) must
+    produce byte-identical posting rows — force each via the
+    threshold constant and compare."""
+    from efficient_query_expansion_spark.operators import postings as P
+
+    def rows_of(idx):
+        return sorted(
+            (
+                r["term_id"], r["shard"], r["n"], bytes(r["doc_gaps"]),
+                bytes(r["tfs"]), tuple(r["block_last"]),
+                tuple(r["block_max_part"]),
+            )
+            for r in idx["postings"].collect()
+        )
+
+    orig = P.POSTINGS_STREAM_MIN_TERMS
+    try:
+        P.POSTINGS_STREAM_MIN_TERMS = 10 ** 12  # force grouped
+        grouped = rows_of(build_index(skewed_corpus, shard_size=64))
+        P.POSTINGS_STREAM_MIN_TERMS = 0  # force streamed
+        streamed = rows_of(build_index(skewed_corpus, shard_size=64))
+    finally:
+        P.POSTINGS_STREAM_MIN_TERMS = orig
+    assert grouped == streamed
+
+
 def test_shard_level_resume(spark, skewed_corpus, tmp_path):
     idx = build_index(skewed_corpus, shard_size=64)
     path = str(tmp_path / "idx")
