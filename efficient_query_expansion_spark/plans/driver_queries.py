@@ -1757,14 +1757,18 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup (LSH buckets + exact verify). The
     synthetic embeddings have no natural near-dups (max pairwise
     cosine ~0.51), so 10 perturbed duplicates (v*1.01 + 0.001) are
-    planted deterministically on both sides."""
+    planted deterministically on both sides. The planted ids offset
+    by max(vec_id)+1 — a fixed offset (10000 originally) collided
+    with real ids on the 10x-replicated sf1 table, giving duplicate
+    keys whose bucket/cosine aggregations diverge between engines."""
     from efficient_query_expansion_spark.operators.dedup import (
         embedding_near_duplicates,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     dup = emb.where(F.col("vec_id") < 10).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(int(off))).alias("vec_id"),
         F.transform(
             "embedding", lambda x: x * F.lit(1.01) + F.lit(0.001)
         ).alias("embedding"),
@@ -1790,7 +1794,7 @@ register(
     """
 WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
 dup AS (
-  SELECT vec_id + 10000 AS vec_id,
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM e0) AS vec_id,
          list_transform(embedding,
                         x -> CAST(x AS DOUBLE) * 1.01 + 0.001)
            AS embedding

@@ -170,6 +170,14 @@ def main() -> None:
         sf_eq = round(FACTOR * float(SRC.rstrip("/").split("sf")[-1]), 3)
     except ValueError:
         sf_eq = -1.0  # non-sf-suffixed SPARK_GRAFT_SF_DIR override
+    gate_path = os.path.join(ROOT, "SF1_GATE.json")
+    if sel and os.path.exists(gate_path):
+        # subset re-run (e.g. after fixing one entry): merge into the
+        # existing full-gate record instead of clobbering it
+        with open(gate_path) as f:
+            prev = json.load(f)
+        results = {**prev.get("results", {}), **results}
+        timings = {**prev.get("seconds", {}), **timings}
     out = {
         "sf_equivalent": sf_eq,
         "n_documents": n_docs,
@@ -180,7 +188,7 @@ def main() -> None:
         "n_ok": sum(1 for r in results.values() if r["ok"]),
         "n_total": len(results),
     }
-    with open(os.path.join(ROOT, "SF1_GATE.json"), "w") as f:
+    with open(gate_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
                       ("sf_equivalent", "n_documents", "n_ok", "n_total")}))
