@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from efficient_query_expansion_spark.operators.postings import (
     B,
+    BLOCK,
     CODECS,
     K1,
     bitpack_decode_blocks,
@@ -496,6 +497,13 @@ def sharded_topk(
 
     # per-block skipping needs a block-addressable codec: pfor blobs
     # carry per-block byte headers; varbyte does not (full decode).
+    # The codec ALWAYS packs BLOCK(=128)-value blocks, while
+    # block_last/block_max_part use the build's ``block`` kwarg —
+    # score_group additionally verifies per row that the metadata
+    # granularity matches (len(block_last) == ceil(n/BLOCK)) and
+    # falls back to full decode when it doesn't, so a block=64 index
+    # degrades to unpruned-but-correct instead of reconstructing
+    # wrong ordinals from misaligned bases.
     block_skippable = index.get("codec", "varbyte") == "pfor"
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -570,6 +578,14 @@ def sharded_topk(
             for _, row in sg.iterrows():
                 bl = np.asarray(row["block_last"], dtype=np.uint64)
                 nb = len(bl)
+                if nb != -(-int(row["n"]) // BLOCK):
+                    # metadata granularity != codec block size (index
+                    # built with a custom ``block``): selective decode
+                    # would misalign — full decode, still correct
+                    ds.append(delta_decode(dec(bytes(row["doc_gaps"]))))
+                    ts.append(dec(bytes(row["tfs"])).astype(np.int64))
+                    n_blk_dec += nb
+                    continue
                 bi = np.searchsorted(bl, cand, side="left")
                 bi = np.unique(bi[bi < nb])
                 if bi.size == 0:
@@ -637,6 +653,8 @@ def sharded_topk(
                         kth is not None
                         and block_skippable
                         and len(sg) == 1
+                        and len(sg.iloc[0]["block_last"])
+                        == -(-int(sg.iloc[0]["n"]) // BLOCK)
                     ):
                         # per-block WAND skip on the driver list:
                         # docs of block b score at most

@@ -607,6 +607,7 @@ def build_index_from_tdf(
         # driver-side cache so query plans skip the meta job
         "meta_values": (int(meta_vals["num_docs"]), float(avg_len)),
         "codec": codec,
+        "block": block,
         # every frame this build persisted, for callers that outlive
         # the index (streaming appends) to unpersist — a long-running
         # foreachBatch loop must not leak CacheManager entries per
@@ -663,7 +664,9 @@ def write_index(
         "segments": metrics,
         "lineage": {
             "builder": "efficient_query_expansion_spark",
-            "block": BLOCK,
+            # the ACTUAL metadata granularity (a custom ``block`` !=
+            # codec BLOCK disables per-block skipping, detectably)
+            "block": index.get("block", BLOCK),
             "bm25": {"k1": K1, "b": B},
             "codec": index.get("codec", "varbyte"),
             "shard_partitioned": shard_partitioned,
@@ -760,19 +763,35 @@ BLOOM_K = 7
 _BLOOM_SEP = "\x1f"
 
 
-def _bloom_positions(keys: list[str], m: int) -> np.ndarray:
-    """(n, BLOOM_K) bit positions per key — double hashing over a
-    128-bit blake2b digest (deterministic across processes/versions,
-    unlike ``hash()``)."""
+def _bloom_digests(keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-key (h1, h2) double-hash bases from a 128-bit blake2b
+    digest (deterministic across processes/versions, unlike
+    ``hash()``).  The expensive digest runs ONCE per key; positions
+    for any filter size derive arithmetically — the multi-segment
+    disjointness probe reuses one digest pass across every segment's
+    bloom instead of re-hashing per segment."""
     import hashlib
 
-    out = np.empty((len(keys), BLOOM_K), dtype=np.int64)
+    h1 = np.empty(len(keys), dtype=np.uint64)
+    h2 = np.empty(len(keys), dtype=np.uint64)
     for i, key in enumerate(keys):
         d = hashlib.blake2b(key.encode(), digest_size=16).digest()
-        h1 = int.from_bytes(d[:8], "little")
-        h2 = int.from_bytes(d[8:], "little") | 1
-        out[i] = [(h1 + j * h2) % m for j in range(BLOOM_K)]
-    return out
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little") | 1
+    return h1, h2
+
+
+def _bloom_positions_from(h1, h2, m: int) -> np.ndarray:
+    """(n, BLOOM_K) bit positions — uint64 wraparound arithmetic,
+    identical on the build and probe sides by construction."""
+    j = np.arange(BLOOM_K, dtype=np.uint64)
+    return (
+        (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m)
+    ).astype(np.int64)
+
+
+def _bloom_positions(keys: list[str], m: int) -> np.ndarray:
+    return _bloom_positions_from(*_bloom_digests(keys), m)
 
 
 def build_doc_key_bloom(
@@ -812,15 +831,23 @@ def build_doc_key_bloom(
     return struct.pack("<QI", m, BLOOM_K) + agg.tobytes()
 
 
-def bloom_might_contain(blob: bytes, keys: list[str]) -> np.ndarray:
-    """Vector of maybe-present booleans (false = DEFINITELY absent)."""
+def bloom_might_contain(
+    blob: bytes, keys: list[str], digests=None
+) -> np.ndarray:
+    """Vector of maybe-present booleans (false = DEFINITELY absent).
+    ``digests`` (optional, from :func:`_bloom_digests`) lets callers
+    probing MANY blooms with the same keys hash each key once."""
     import struct
 
     m, _k = struct.unpack_from("<QI", blob, 0)
     bits = np.frombuffer(blob, dtype=np.uint8, offset=12)
-    if not keys:
+    if digests is None:
+        if not keys:
+            return np.zeros(0, dtype=bool)
+        digests = _bloom_digests(keys)
+    elif digests[0].size == 0:
         return np.zeros(0, dtype=bool)
-    pos = _bloom_positions(keys, int(m))
+    pos = _bloom_positions_from(digests[0], digests[1], int(m))
     return ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
 
 
@@ -872,9 +899,10 @@ def _validate_disjoint(
                     _BLOOM_SEP.join(str(v) for v in row)
                     for row in zip(*[pdf[c] for c in doc_key])
                 ]
+                digests = _bloom_digests(keys)  # hash once per key
                 for name, blob in bc.value:
                     if name not in hits and bloom_might_contain(
-                        blob, keys
+                        blob, keys, digests=digests
                     ).any():
                         hits.add(name)
             yield pd.DataFrame({"seg": sorted(hits)})
@@ -1091,13 +1119,17 @@ def compact_catalog(
 
     Crash-safe like append: the merged segment is written first, the
     catalog.json swap (write-temp + ``os.replace``) atomically
-    dereferences the sources and references the merge, the epoch
-    ledger rides unchanged in the same write, and source directories
-    are only deleted AFTER the commit (a crash in between leaves
-    orphan dirs that the next compaction sweeps).  Segment ids are
-    monotonic — a compacted name is never reused.  Single-writer, as
-    everywhere in the catalog path.  Returns the updated catalog
-    dict."""
+    dereferences the sources and references the merge, and the epoch
+    ledger rides unchanged in the same write.  Source directories are
+    NOT deleted at commit — they are recorded as ``tombstones`` and
+    removed by the NEXT compaction (generation-delayed deletion, the
+    Lucene keep-until-readers-release idea without ref-counting): a
+    concurrent reader that opened the previous catalog snapshot keeps
+    scanning its lazy DataFrames over the old dirs for a full
+    compaction interval instead of hitting FileNotFound mid-query.
+    Segment ids are monotonic — a compacted name is never reused.
+    Single-writer, as everywhere in the catalog path.  Returns the
+    updated catalog dict."""
     import json
     import os
     import shutil
@@ -1107,6 +1139,11 @@ def compact_catalog(
         cat = json.load(fh)
     if len(cat["segments"]) <= max_segments:
         return cat
+    # generation-delayed deletion: the PREVIOUS compaction's sources
+    # were dereferenced a full compaction interval ago — any reader
+    # of that snapshot has long finished; reclaim them now
+    for name in cat.get("tombstones", []):
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
     def seg_docs(entry):
         m = entry.get("metrics", {}).get("docs", {})
@@ -1154,16 +1191,18 @@ def compact_catalog(
         }
     ]
     cat["next_seg"] = _next_seg_id(cat)
+    # sources stay on disk as tombstones until the NEXT compaction
+    # (see docstring) — the commit below dereferences them atomically
+    cat["tombstones"] = sorted(victim_names)
     tmp = cat_file + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(cat, fh, indent=2)
     os.replace(tmp, cat_file)
-    # post-commit cleanup: drop the merged sources AND any orphan
-    # segment dir an earlier crash left behind (unreferenced = dead
-    # under the single-writer contract)
-    live = {s["name"] for s in cat["segments"]}
+    # post-commit cleanup: sweep crash-leftover dirs that are neither
+    # live nor tombstoned (unreferenced = dead, single-writer)
+    keep = {s["name"] for s in cat["segments"]} | set(cat["tombstones"])
     for d in os.listdir(path):
-        if d.startswith("seg-") and d not in live:
+        if d.startswith("seg-") and d not in keep:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return cat
 
@@ -1178,10 +1217,15 @@ def _next_seg_id(cat: dict) -> int:
     return max([cat.get("next_seg", 0) - 1] + ids + [-1]) + 1
 
 
-def read_catalog(spark, path: str) -> list[dict]:
+def read_catalog(spark, path: str, cat: dict | None = None) -> list[dict]:
     """Load every segment of a catalog written by
     :func:`append_segment` (list of :func:`read_index` dicts, in
-    catalog order).
+    catalog order).  ``cat`` (optional) is a pre-read catalog.json
+    snapshot: callers that also derive metadata from the catalog
+    (e.g. the serving cache's lineage key) pass it so the segment
+    list and the metadata come from ONE consistent read — re-reading
+    here could observe a concurrent append/compaction and pair new
+    segments with an old lineage.
 
     Catalog-open cost is O(1) Spark jobs regardless of segment count:
     all segment metas are read in ONE multi-path parquet job (mapped
@@ -1196,8 +1240,9 @@ def read_catalog(spark, path: str) -> list[dict]:
     import json
     import os
 
-    with open(os.path.join(path, "catalog.json")) as fh:
-        cat = json.load(fh)
+    if cat is None:
+        with open(os.path.join(path, "catalog.json")) as fh:
+            cat = json.load(fh)
     if not cat["segments"]:
         return []
     first = os.path.join(path, cat["segments"][0]["name"])

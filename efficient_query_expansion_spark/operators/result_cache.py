@@ -53,10 +53,16 @@ class ResultCache:
             return None
 
     def get_performance(
-        self, qid_to_repr: dict, index: dict, k: int = 10
+        self, qid_to_repr: dict, index, k: int = 10
     ) -> DataFrame:
         """Answer every query, serving cached keys from the results
-        table and evaluating only the misses (one batched job)."""
+        table and evaluating only the misses (one batched job).
+
+        ``index`` may be the index dict OR a zero-arg callable
+        returning one — the callable is invoked only when misses
+        exist, so a pure-hit serving batch never pays the index/
+        catalog open cost at all (the steady state this cache is
+        for)."""
         keys = {
             qid: self.key_prefix + query_repr_to_cnf_string(r)
             for qid, r in qid_to_repr.items()
@@ -79,6 +85,8 @@ class ResultCache:
                 rep_for_key[key] = qid
         misses = {qid: qid_to_repr[qid] for qid in rep_for_key.values()}
         if misses:
+            if callable(index):
+                index = index()
             qlong = query_reprs_to_long_df(self.spark, misses)
             t0 = time.time()
             topk = sharded_topk(qlong, index, k=k)
@@ -170,7 +178,14 @@ def serve_catalog_cached(
     no explicit invalidation protocol.  The reference keeps the same
     cache keyed by canonical CNF alone because its index is immutable
     (index_cache.py:88-97); the lineage prefix is what makes the idea
-    safe on a mutable catalog."""
+    safe on a mutable catalog.
+
+    catalog.json is read ONCE and both the lineage key and the
+    segment list derive from that snapshot — a second read could
+    observe a concurrent append/compaction and cache new-corpus
+    results under the old lineage.  The catalog opens LAZILY: a
+    pure-hit batch (the steady state) never reads a segment at
+    all."""
     import json
     import os
 
@@ -183,13 +198,16 @@ def serve_catalog_cached(
 
     with open(os.path.join(catalog_path, "catalog.json")) as fh:
         cat = json.load(fh)
-    segments = read_catalog(spark, catalog_path)
-    index = (
-        segments[0]
-        if len(segments) == 1
-        else union_catalog_index(segments)
-    )
+
+    def open_index():
+        segments = read_catalog(spark, catalog_path, cat=cat)
+        return (
+            segments[0]
+            if len(segments) == 1
+            else union_catalog_index(segments)
+        )
+
     cache = ResultCache(
         spark, cache_path, key_prefix=catalog_lineage(cat) + "\x1f"
     )
-    return cache.get_performance(qid_to_repr, index, k=k)
+    return cache.get_performance(qid_to_repr, open_index, k=k)

@@ -170,16 +170,33 @@ def incremental_index(
     # two checkpoints sharing a basename (.../jobA/ckpt, .../jobB/ckpt)
     # must not collide, or real micro-batches get dropped as
     # redeliveries.
+    # NOTE: resolve the checkpoint path ABSOLUTELY before hashing —
+    # and pass absolute checkpoint paths in production: a relative
+    # path resumed from a different working directory changes the
+    # token (Spark's own checkpoint resolution has the same cwd
+    # dependence, so this adds no new requirement).
     ckpt_token = hashlib.sha1(
         os.path.abspath(os.path.normpath(checkpoint_path)).encode()
     ).hexdigest()[:12]
+    # ledgers written before the hash-token change used the bare
+    # basename; honor those entries so an upgraded stream's
+    # redelivered epochs stay no-ops instead of double-appending
+    legacy_token = os.path.basename(os.path.normpath(checkpoint_path))
 
     def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import json
+
         from efficient_query_expansion_spark.operators.postings import (
             append_segment,
             compact_catalog,
         )
 
+        cat_file = os.path.join(catalog_path, "catalog.json")
+        if os.path.exists(cat_file):
+            with open(cat_file) as fh:
+                applied = json.load(fh).get("applied_epochs", [])
+            if f"{legacy_token}#{int(epoch_id)}" in applied:
+                return  # applied under the pre-hash token scheme
         append_segment(
             batch_df, catalog_path,
             applied_epoch=f"{ckpt_token}#{int(epoch_id)}",

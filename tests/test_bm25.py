@@ -488,11 +488,14 @@ def test_catalog_compaction_bit_identity(
     assert names[-1] == "seg-00006"  # monotonic, never recycled
     merged_from = cat["segments"][-1]["lineage"]["compacted_from"]
     assert len(merged_from) == 4  # 6 - 3 + 1 smallest merged into one
-    # victims are gone; only live segments remain on disk
+    # generation-delayed deletion: victims stay on disk as tombstones
+    # (a concurrent reader of the old snapshot can finish its scan);
+    # only the NEXT compaction reclaims them
+    assert cat["tombstones"] == sorted(merged_from)
     on_disk = sorted(
         d for d in os.listdir(path) if d.startswith("seg-")
     )
-    assert on_disk == sorted(names)
+    assert on_disk == sorted(names + merged_from)
 
     jobs3 = open_jobs("catopen3")
     assert jobs3 == jobs6, (
@@ -518,15 +521,34 @@ def test_catalog_compaction_bit_identity(
     for qid in w:
         assert g[qid] == w[qid], f"qid {qid}: compacted != monolithic"
 
-    # idempotent: already at the cap → no-op
+    # idempotent: already at the cap → no-op (tombstones kept)
     cat2 = compact_catalog(spark, path, max_segments=3)
     assert [s["name"] for s in cat2["segments"]] == names
 
+    # a SECOND real compaction reclaims the previous generation's
+    # tombstones and leaves its own
+    cat3 = compact_catalog(spark, path, max_segments=2, shard_size=64)
+    assert len(cat3["segments"]) == 2
+    on_disk2 = sorted(
+        d for d in os.listdir(path) if d.startswith("seg-")
+    )
+    assert not set(merged_from) & set(on_disk2)  # gen-1 reclaimed
+    assert on_disk2 == sorted(
+        [s["name"] for s in cat3["segments"]] + cat3["tombstones"]
+    )
+    # still bit-identical after the second compaction
+    got2 = catalog_topk(
+        qlong, read_catalog(spark, path), k=10
+    ).collect()
+    g2 = keyed(got2)
+    for qid in w:
+        assert g2[qid] == w[qid], f"qid {qid}: 2nd compaction broke"
+
     # a later append continues the monotonic id sequence
-    cat3 = append_segment(
+    cat4 = append_segment(
         transcripts_tiny.limit(0), path
     )  # empty no-op keeps ids
-    assert cat3["next_seg"] == 7
+    assert cat4["next_seg"] == 8
 
 
 def test_doc_key_bloom_roundtrip():

@@ -277,6 +277,30 @@ def test_per_block_skip_fires_and_stays_exact(spark):
     assert _ranked(got) == _ranked(want)
 
 
+def test_custom_block_size_disables_skip_but_stays_exact(spark):
+    """An index built with ``block != 128`` stores block metadata at a
+    granularity the (always-128-value) pfor codec blocks don't match;
+    selective decode would reconstruct wrong ordinals from misaligned
+    bases.  The evaluator must detect the mismatch per row
+    (len(block_last) vs ceil(n/BLOCK)) and fall back to full decode —
+    results stay rank-identical to the exact plan."""
+    t = _random_corpus(spark, seed=23, n_docs=200)
+    idx = build_index(t, shard_size=64, block=16)
+    reprs = {
+        0: [
+            [[("apple",), ("pear",)]],
+            [[("kiwi",)], [("date",)]],
+            [[("grape",)], [("fig",)]],
+        ]
+    }
+    qlong = query_reprs_to_long_df(spark, reprs)
+    got = sharded_topk(qlong, idx, k=3).collect()
+    tdf = term_doc_tf(t)
+    n, avg = idx["meta_values"]
+    want = exact_topk(qlong, tdf, idx["docs"], n, avg, k=3).collect()
+    assert _ranked(got) == _ranked(want)
+
+
 @pytest.mark.parametrize("seed", [3, 17, 42])
 def test_randomized_rank_identity(spark, seed):
     rng = np.random.RandomState(seed)
