@@ -242,16 +242,22 @@ def union_catalog_index(
     # per-segment INTEGER token totals and dividing once reproduces
     # the monolithic avg(doc_len) double bit-for-bit (summing the
     # already-rounded per-segment doubles n_i * avg_i would drift by
-    # ulps and break score bit-identity). total_terms comes from the
-    # meta table; when only meta_values survived (read_index), the
-    # integer total is recovered exactly via round(n * avg).
+    # ulps and break score bit-identity). total_terms is carried
+    # through exactly (read_catalog/read_index pre-fill it from the
+    # meta table since round 6); the round(n * avg) recovery remains
+    # only for callers that hand-build a segment dict without it.
     num_docs = 0
     total_len = 0
     seg_stats = []
     for seg in segments:
-        if "meta_values" in seg:
-            # preferred: zero driver jobs (read_catalog batches all
-            # segment metas into one read and pre-fills these)
+        if "total_terms" in seg:
+            t = int(seg["total_terms"])
+            n = (
+                int(seg["meta_values"][0])
+                if "meta_values" in seg
+                else int(seg["meta"].collect()[0]["num_docs"])
+            )
+        elif "meta_values" in seg:
             n = int(seg["meta_values"][0])
             t = int(round(n * float(seg["meta_values"][1])))
         else:
@@ -263,6 +269,7 @@ def union_catalog_index(
     avg_len = total_len / num_docs if num_docs else 0.0
 
     dicts, posts, lens, docs = [], [], [], []
+    bound_scales: dict[int, float] = {}
     for i, seg in enumerate(segments):
         off = F.lit(i * SEG_STRIDE)
         dicts.append(
@@ -284,18 +291,16 @@ def union_catalog_index(
         # so multiplying by avg_glob/avg_seg (capped at 1.0 — part is
         # always < 1) restores a strict upper bound; when avg_glob <=
         # avg_seg the stored bound is already admissible (just loose).
+        # Round 6: the multiply moved out of the per-posting-row JVM
+        # ``transform`` (it re-ran over every posting array on every
+        # query batch) into ``score_group``, which applies the scalar
+        # in numpy only where bounds are read — ``bound_scales`` maps
+        # segment scope → scale, riding the index dict.
         n_i, t_i = seg_stats[i]
         avg_i = (t_i / n_i) if n_i else avg_len
         scale = (avg_len / avg_i) if avg_i else 1.0
         if scale > 1.0:
-            s = F.lit(float(scale))
-            p = p.withColumn(
-                "block_max_part",
-                F.transform(
-                    F.col("block_max_part"),
-                    lambda x: F.least(x * s, F.lit(1.0)),
-                ),
-            )
+            bound_scales[i] = float(scale)
         posts.append(p)
         lens.append(
             seg["doclens"].withColumn("shard", F.col("shard") + off)
@@ -318,8 +323,10 @@ def union_catalog_index(
         "doclens": _u(lens),
         "docs": _u(docs),
         "meta_values": (num_docs, avg_len),
+        "total_terms": total_len,
         "codec": next(iter(codecs)),
         "scope_stride": SEG_STRIDE,
+        "bound_scales": bound_scales,
     }
 
 
@@ -453,7 +460,15 @@ def sharded_topk(
     )
     syn_df = _synset_df(qpost, gcount, gkey, dec)
 
-    bc = spark.sparkContext.broadcast((num_docs, avg_len, k))
+    bc = spark.sparkContext.broadcast(
+        (
+            num_docs,
+            avg_len,
+            k,
+            int(index.get("scope_stride") or 0),
+            dict(index.get("bound_scales") or {}),
+        )
+    )
 
     # Ship each shard's ords/lens blobs ONCE per (qid, shard) group as
     # a tagged union row instead of joining them onto every posting
@@ -507,7 +522,7 @@ def sharded_topk(
     block_skippable = index.get("codec", "varbyte") == "pfor"
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        num_docs, avg_len, k = bc.value
+        num_docs, avg_len, k, stride, scales = bc.value
         blob = pdf[pdf["ords"].notna()]
         pdf = pdf[pdf["ords"].isna()]
         if pdf.empty or blob.empty:
@@ -529,6 +544,12 @@ def sharded_topk(
         }
         qid = int(pdf["qid"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
+        # fused-catalog bound rescale (see union_catalog_index): one
+        # scalar per segment scope, applied to the block-max BOUNDS in
+        # numpy right where they are read, instead of a per-posting-row
+        # JVM transform on every query batch. Bounds only — scores are
+        # computed from raw tfs and are untouched.
+        scale = scales.get(shard // stride, 1.0) if stride else 1.0
         ords = delta_decode(dec(bytes(blob["ords"].iloc[0])))
         lens = dec(bytes(blob["lens"].iloc[0])).astype(np.float64)
         knorm = K1 * (1.0 - B + B * lens / avg_len)  # per doc-in-shard
@@ -544,70 +565,132 @@ def sharded_topk(
                 d, t = ud, ut
             return d, t
 
-        def decode_rows_full(sg):
-            nonlocal n_blk_dec
-            ds, ts = [], []
-            for _, row in sg.iterrows():
-                ds.append(delta_decode(dec(bytes(row["doc_gaps"]))))
-                ts.append(dec(bytes(row["tfs"])).astype(np.int64))
-                n_blk_dec += len(row["block_max_part"])
-            return merge_rows(ds, ts)
-
-        def decode_block_range(row, keep):
-            """Decode only blocks ``keep`` of one posting row; doc
-            ordinals of block b rebuild from block_last[b-1] + the
-            block's gap cumsum (delta keeps the absolute first id)."""
-            gap_b = bitpack_decode_blocks(bytes(row["doc_gaps"]), keep)
-            tf_b = bitpack_decode_blocks(bytes(row["tfs"]), keep)
-            bl = np.asarray(row["block_last"], dtype=np.uint64)
-            dparts, tparts = [], []
-            for b in keep.tolist():
-                base = bl[b - 1] if b > 0 else np.uint64(0)
-                dparts.append(
-                    base + np.cumsum(gap_b[b], dtype=np.uint64)
-                )
-                tparts.append(tf_b[b].astype(np.int64))
-            return np.concatenate(dparts), np.concatenate(tparts)
-
-        def decode_rows_at(sg, cand):
-            """Decode only blocks that can HOLD a candidate doc:
-            block_last locates each candidate's covering block via
-            searchsorted; all other blocks are skipped unread."""
-            nonlocal n_blk_skip, n_blk_dec
-            ds, ts = [], []
-            for _, row in sg.iterrows():
-                bl = np.asarray(row["block_last"], dtype=np.uint64)
+        # Per-posting-row lazy decoder with block memoization (round
+        # 6): the progressive driver scan below consults the same row
+        # once per candidate chunk, so selective decodes remember
+        # every unpacked block — no block is ever decoded twice
+        # however the chunks interleave, and the decoded/skipped
+        # counters aggregate once per and_query from this state.
+        def make_states(sg):
+            sts = []
+            for _, r in sg.iterrows():
+                bl = np.asarray(r["block_last"], dtype=np.uint64)
                 nb = len(bl)
-                if nb != -(-int(row["n"]) // BLOCK):
-                    # metadata granularity != codec block size (index
-                    # built with a custom ``block``): selective decode
-                    # would misalign — full decode, still correct
-                    ds.append(delta_decode(dec(bytes(row["doc_gaps"]))))
-                    ts.append(dec(bytes(row["tfs"])).astype(np.int64))
-                    n_blk_dec += nb
-                    continue
-                bi = np.searchsorted(bl, cand, side="left")
-                bi = np.unique(bi[bi < nb])
-                if bi.size == 0:
-                    n_blk_skip += nb
-                    continue
-                if bi.size == nb:
-                    ds.append(delta_decode(dec(bytes(row["doc_gaps"]))))
-                    ts.append(dec(bytes(row["tfs"])).astype(np.int64))
-                    n_blk_dec += nb
-                    continue
-                d, t = decode_block_range(row, bi)
-                ds.append(d)
-                ts.append(t)
-                n_blk_dec += int(bi.size)
-                n_blk_skip += nb - int(bi.size)
+                sts.append({
+                    "gaps": r["doc_gaps"], "tfs": r["tfs"],
+                    "bl": bl, "nb": nb,
+                    # metadata granularity must match the codec block
+                    # size (custom ``block`` builds don't): selective
+                    # decode would misalign — full decode, correct
+                    "aligned": nb == -(-int(r["n"]) // BLOCK),
+                    "full": None, "blocks": {}, "touched": False,
+                })
+            return sts
+
+        def state_full(st):
+            st["touched"] = True
+            if st["full"] is None:
+                st["full"] = (
+                    delta_decode(dec(bytes(st["gaps"]))),
+                    dec(bytes(st["tfs"])).astype(np.int64),
+                )
+            return st["full"]
+
+        def state_blocks(st, bsel):
+            """Decode blocks ``bsel`` (sorted array) of one row,
+            memoized; doc ordinals of block b rebuild from
+            block_last[b-1] + the block's gap cumsum (delta keeps the
+            absolute first id)."""
+            blocks = st["blocks"]
+            bs = bsel.tolist()
+            missing = [b for b in bs if b not in blocks]
+            if missing:
+                gap_b = bitpack_decode_blocks(bytes(st["gaps"]), missing)
+                tf_b = bitpack_decode_blocks(bytes(st["tfs"]), missing)
+                bl = st["bl"]
+                for b in missing:
+                    base = bl[b - 1] if b > 0 else np.uint64(0)
+                    blocks[b] = (
+                        base + np.cumsum(gap_b[b], dtype=np.uint64),
+                        tf_b[b].astype(np.int64),
+                    )
+            return (
+                np.concatenate([blocks[b][0] for b in bs]),
+                np.concatenate([blocks[b][1] for b in bs]),
+            )
+
+        def state_at(st, cand):
+            """(d, t) covering every candidate — only blocks that can
+            HOLD one are decoded (block_last locates each candidate's
+            covering block via searchsorted); (None, None) when no
+            block of this row covers any candidate."""
+            st["touched"] = True
+            if st["full"] is not None:
+                return st["full"]
+            if not (block_skippable and st["aligned"]):
+                return state_full(st)
+            bi = np.searchsorted(st["bl"], cand, side="left")
+            bi = np.unique(bi[bi < st["nb"]])
+            if bi.size == 0:
+                return None, None
+            if bi.size == st["nb"]:
+                return state_full(st)
+            return state_blocks(st, bi)
+
+        def group_at(sts, cand):
+            ds, ts = [], []
+            for st in sts:
+                d, t = state_at(st, cand)
+                if d is not None:
+                    ds.append(d)
+                    ts.append(t)
             if not ds:
                 return None, None
             return merge_rows(ds, ts)
 
+        def group_full(sts):
+            ds, ts = [], []
+            for st in sts:
+                d, t = state_full(st)
+                ds.append(d)
+                ts.append(t)
+            return merge_rows(ds, ts)
+
         best: dict[int, float] = {}
+
+        def current_kth():
+            if len(best) < k:
+                return None
+            v = np.fromiter(best.values(), np.float64, len(best))
+            # k-th largest via O(n) selection — the former
+            # sorted(best.values()) full re-sort per and_query was the
+            # r5 #9 scale gap (O(|best| log |best|) per threshold read)
+            return float(np.partition(v, v.size - k)[v.size - k])
+
+        def score_into_best(cand, syn_data, idfs):
+            # score survivors in syn_pos order (deterministic fold);
+            # every survivor is present in each synset's decoded
+            # arrays by construction (its covering block was kept)
+            pos_in_shard = np.searchsorted(ords, cand)
+            score = np.zeros(cand.size, dtype=np.float64)
+            for sp in sorted(syn_data):
+                d, t = syn_data[sp]
+                ix = np.searchsorted(d, cand)
+                tf_s = t[ix].astype(np.float64)
+                score = score + idfs[sp] * (
+                    tf_s / (tf_s + knorm[pos_in_shard])
+                )
+            for doc, sc in zip(cand.tolist(), score.tolist()):
+                prev = best.get(doc)
+                if prev is None or sc > prev:
+                    best[doc] = sc
+
         # and_queries in and_pos order; a local kth threshold feeds
-        # the admissible skips once k candidates exist
+        # the admissible skips once k candidates exist — and, new in
+        # round 6, TIGHTENS DURING each and_query's own scan (the
+        # progressive driver loop below), so the dominant
+        # single-and_query shape arms the block skip too instead of
+        # decoding its whole driver list first
         for and_pos, g in pdf.groupby("and_pos"):
             n_syn = n_syn_map[int(and_pos)]
             syn_groups = list(g.groupby("syn_pos"))
@@ -626,11 +709,13 @@ def sharded_topk(
                 idfs[int(syn_pos)] = idf_py(dfs, num_docs)
                 sbound[int(syn_pos)] = min(
                     1.0,
-                    sum(float(max(bm)) for bm in sg["block_max_part"]),
+                    sum(
+                        min(float(max(bm)) * scale, 1.0)
+                        for bm in sg["block_max_part"]
+                    ),
                 )
-            kth = None
-            if len(best) >= k:
-                kth = sorted(best.values(), reverse=True)[k - 1]
+            kth = current_kth()
+            if kth is not None:
                 ub = sum(idfs[s] * sbound[s] for s in idfs)
                 # strict: a pruned and_query could otherwise hide a
                 # doc whose exact score EQUALS kth but wins the
@@ -643,76 +728,106 @@ def sharded_topk(
             order = sorted(
                 syn_groups, key=lambda kv: int(kv[1]["n"].sum())
             )
-            syn_data: dict[int, tuple] = {}
-            cand = None
-            for syn_pos, sg in order:
-                sp = int(syn_pos)
-                if cand is None:
-                    d = t = None
-                    if (
-                        kth is not None
-                        and block_skippable
-                        and len(sg) == 1
-                        and len(sg.iloc[0]["block_last"])
-                        == -(-int(sg.iloc[0]["n"]) // BLOCK)
-                    ):
-                        # per-block WAND skip on the driver list:
-                        # docs of block b score at most
-                        # idf_d*bmax[b] + Σ_other idf*shard_bound —
-                        # blocks strictly below kth never decode
-                        row = sg.iloc[0]
-                        bmax = np.asarray(
-                            row["block_max_part"], dtype=np.float64
-                        )
-                        rest = sum(
-                            idfs[s] * sbound[s]
-                            for s in idfs if s != sp
-                        )
-                        keep = np.flatnonzero(
-                            idfs[sp] * bmax + rest >= kth
-                        )
-                        nb = len(bmax)
-                        if keep.size == 0:
-                            n_blk_skip += nb
-                            cand = np.empty(0, dtype=np.uint64)
-                            break
-                        if keep.size < nb:
-                            d, t = decode_block_range(row, keep)
-                            n_blk_dec += int(keep.size)
-                            n_blk_skip += nb - int(keep.size)
-                    if d is None:
-                        d, t = decode_rows_full(sg)
-                    cand = d
-                else:
-                    if block_skippable:
-                        d, t = decode_rows_at(sg, cand)
-                    else:
-                        d, t = decode_rows_full(sg)
-                    if d is None:
-                        cand = np.empty(0, dtype=np.uint64)
-                        break
-                    cand = cand[np.isin(cand, d, assume_unique=True)]
-                syn_data[sp] = (d, t)
-                if cand.size == 0:
-                    break
-            if cand is None or cand.size == 0:
-                continue
-            # score survivors in syn_pos order (deterministic fold);
-            # every survivor is present in each synset's decoded
-            # arrays by construction (its covering block was kept)
-            pos_in_shard = np.searchsorted(ords, cand)
-            score = np.zeros(cand.size, dtype=np.float64)
-            for sp in sorted(syn_data):
-                d, t = syn_data[sp]
-                ix = np.searchsorted(d, cand)
-                tf_s = t[ix].astype(np.float64)
-                score = score + idfs[sp] * (
-                    tf_s / (tf_s + knorm[pos_in_shard])
+            states = {int(sp): make_states(sg) for sp, sg in order}
+            dsp = int(order[0][0])
+            dstates = states[dsp]
+            later = [(int(sp), states[int(sp)]) for sp, _ in order[1:]]
+            if block_skippable and len(dstates) == 1 and dstates[0]["aligned"]:
+                # progressive intra-and_query WAND: stream the driver
+                # list block-at-a-time in DESCENDING upper-bound order
+                # (ub_b = idf_d*bmax[b] + Σ_other idf*shard_bound),
+                # scoring each chunk to completion so kth tightens
+                # DURING the scan; blocks strictly below the running
+                # kth never decode. Chunks grow geometrically (4→64)
+                # so the no-skew worst case stays one pass with
+                # O(log) extra iterations, and the row-state memo
+                # above keeps later-list blocks decoded at most once.
+                st0 = dstates[0]
+                st0["touched"] = True
+                bmax = np.asarray(
+                    order[0][1].iloc[0]["block_max_part"],
+                    dtype=np.float64,
                 )
-            for doc, sc in zip(cand.tolist(), score.tolist()):
-                prev = best.get(doc)
-                if prev is None or sc > prev:
-                    best[doc] = sc
+                if scale != 1.0:
+                    bmax = np.minimum(bmax * scale, 1.0)
+                rest = sum(
+                    idfs[s] * sbound[s] for s in idfs if s != dsp
+                )
+                ub_b = idfs[dsp] * bmax + rest
+                ordb = np.argsort(-ub_b, kind="stable")
+                nb0 = st0["nb"]
+                ptr, chunk = 0, 4
+                while ptr < nb0:
+                    kth = current_kth()
+                    if kth is not None and ub_b[ordb[ptr]] < kth:
+                        break  # ub-sorted: every later block is below
+                    take = ordb[ptr:ptr + chunk]
+                    ptr += chunk
+                    stop_after = False
+                    if kth is not None:
+                        keep = ub_b[take] >= kth
+                        if not keep.all():
+                            take = take[keep]
+                            stop_after = True
+                    d1, t1 = state_blocks(st0, np.sort(take))
+                    cand = d1
+                    syn_data = {dsp: (d1, t1)}
+                    for sp, sts in later:
+                        d, t = group_at(sts, cand)
+                        if d is None:
+                            cand = cand[:0]
+                            break
+                        cand = cand[
+                            np.isin(cand, d, assume_unique=True)
+                        ]
+                        syn_data[sp] = (d, t)
+                        if cand.size == 0:
+                            break
+                    if cand.size:
+                        score_into_best(cand, syn_data, idfs)
+                    if stop_after:
+                        break
+                    chunk = min(chunk * 2, 64)
+            else:
+                # multi-row driver group, varbyte, or misaligned block
+                # metadata: single-pass intersection, full driver
+                # decode (the pre-round-6 shape)
+                cand = None
+                syn_data = {}
+                for sp, sts in [(dsp, dstates)] + later:
+                    if cand is None:
+                        d, t = group_full(sts)
+                        cand = d
+                    else:
+                        d, t = (
+                            group_at(sts, cand)
+                            if block_skippable
+                            else group_full(sts)
+                        )
+                        if d is None:
+                            cand = cand[:0]
+                            break
+                        cand = cand[
+                            np.isin(cand, d, assume_unique=True)
+                        ]
+                    syn_data[sp] = (d, t)
+                    if cand.size == 0:
+                        break
+                if cand is not None and cand.size:
+                    score_into_best(cand, syn_data, idfs)
+            # observability: decoded/skipped blocks per CONSULTED row
+            # (a row never reached — early-empty intersection — counts
+            # neither), aggregated once per and_query from the memo
+            for sts in states.values():
+                for st in sts:
+                    if not st["touched"]:
+                        continue
+                    dec_ct = (
+                        st["nb"] if st["full"] is not None
+                        else len(st["blocks"])
+                    )
+                    n_blk_dec += dec_ct
+                    n_blk_skip += st["nb"] - dec_ct
         if counters is not None:
             counters["andq_skipped"].add(n_andq_skip)
             counters["blocks_skipped"].add(n_blk_skip)

@@ -365,6 +365,7 @@ def build_index(
     materialize_dir: str | None = None,
     codec: str = "pfor",
     num_partitions: int | None = None,
+    persist_tdf: str | None = None,
 ) -> dict[str, DataFrame]:
     """Full index build. Returns dict of DataFrames:
 
@@ -408,6 +409,7 @@ def build_index(
         doc_key=doc_key,
         codec=codec,
         num_partitions=num_partitions,
+        persist_tdf=persist_tdf,
     )
     index["_toks"] = toks
     return index
@@ -421,6 +423,7 @@ def build_index_from_tdf(
     doc_key: list[str] = DOC_KEY,
     codec: str = "pfor",
     num_partitions: int | None = None,
+    persist_tdf: str | None = None,
 ) -> dict[str, DataFrame]:
     """Index-build core over pre-computed parts: ``doc_lens`` =
     (doc_key, doc_len), ``tdf`` = (term, doc_key, tf) including any
@@ -447,6 +450,20 @@ def build_index_from_tdf(
     avg_len = meta_vals["avg_doc_len"] or 1.0
 
     persisted = [docs]
+    if persist_tdf:
+        # share ONE tokenize+tf pass between the dictionary build and
+        # the posting assembly (each otherwise recomputes it). Scalar
+        # rows only — the measured GC-tax anti-pattern is caching
+        # token ARRAYS (CLAUDE.md), not this
+        from pyspark import StorageLevel
+
+        tdf = tdf.persist(
+            {
+                "memory_and_disk": StorageLevel.MEMORY_AND_DISK,
+                "disk_only": StorageLevel.DISK_ONLY,
+            }[persist_tdf]
+        )
+        persisted.append(tdf)
     dictionary = build_term_dictionary(tdf, persisted).persist()
     persisted.append(dictionary)
     # vocabulary size drives the posting-assembly strategy below; the
@@ -606,6 +623,10 @@ def build_index_from_tdf(
         "meta": meta_row,
         # driver-side cache so query plans skip the meta job
         "meta_values": (int(meta_vals["num_docs"]), float(avg_len)),
+        # exact integer token total (union_catalog_index needs it to
+        # reproduce the monolithic global avg bit-for-bit — round 6
+        # carries it everywhere instead of recovering via round(n*avg))
+        "total_terms": int(meta_vals["total_terms"] or 0),
         "codec": codec,
         "block": block,
         # every frame this build persisted, for callers that outlive
@@ -641,25 +662,43 @@ def write_index(
     (seconds, row counts) land in ``manifest.json``. Returns the
     manifest dict.
     """
+    import concurrent.futures as cf
     import json
     import os
     import time
 
-    metrics = {}
-    for name in ["docs", "dictionary", "postings", "doclens", "meta"]:
+    spark = index["docs"].sparkSession
+
+    def write_one(name):
         seg = os.path.join(path, name)
         if os.path.exists(os.path.join(seg, "_SUCCESS")):
-            metrics[name] = {"skipped": True}
-            continue
+            return name, {"skipped": True}
         t0 = time.time()
         writer = index[name].write.mode("overwrite")
         if shard_partitioned and name in ("postings", "doclens"):
             writer = writer.partitionBy("shard")
         writer.parquet(seg)
-        metrics[name] = {
+        # row metric from the WRITTEN parquet (footer metadata), not
+        # index[name].count(): counting the lazy frame re-ran its
+        # whole lineage — for postings that was a second full
+        # tokenize+tf+assembly pass, measured as ~2x append cost
+        rows = spark.read.parquet(seg).count()
+        return name, {
             "seconds": round(time.time() - t0, 3),
-            "rows": index[name].count(),
+            "rows": rows,
         }
+
+    # overlap the component writes (guide §2.6): the small components
+    # (docs/dictionary/meta read persisted frames) back-fill executor
+    # slots freed by the postings write's straggler tail; jobs are
+    # independent writes to disjoint directories
+    metrics = {}
+    with cf.ThreadPoolExecutor(3) as ex:
+        for name, m in ex.map(
+            write_one,
+            ["postings", "doclens", "docs", "dictionary", "meta"],
+        ):
+            metrics[name] = m
     manifest = {
         "segments": metrics,
         "lineage": {
@@ -722,7 +761,10 @@ def read_index(
     ``schemas`` short-circuit the per-segment meta collect, manifest
     read, and parquet schema-inference jobs — :func:`read_catalog`
     batches/shares those across ALL segments so opening a
-    many-segment catalog costs O(1) driver jobs, not O(segments)."""
+    many-segment catalog costs O(1) driver jobs, not O(segments).
+    ``meta_values`` may carry a third element (the exact integer
+    ``total_terms``); without it the caller-facing ``total_terms``
+    falls back to the meta collect."""
     import os
 
     def _rd(name):
@@ -737,9 +779,12 @@ def read_index(
     }
     if meta_values is not None:
         out["meta_values"] = (int(meta_values[0]), float(meta_values[1]))
+        if len(meta_values) > 2 and meta_values[2] is not None:
+            out["total_terms"] = int(meta_values[2])
     else:
         m = out["meta"].collect()[0]
         out["meta_values"] = (int(m["num_docs"]), float(m["avg_doc_len"]))
+        out["total_terms"] = int(m["total_terms"])
     if codec is not None:
         out["codec"] = codec
     else:
@@ -999,6 +1044,14 @@ def append_segment(
             transcripts, path, cat,
             build_kwargs.get("doc_key", DOC_KEY),
         )
+    # generation-delayed tombstone reclamation (round 6, mirrors
+    # compact_catalog): victims of the LAST compaction were
+    # dereferenced at least one full catalog commit ago, so a stream
+    # that appends but rarely compacts no longer holds them forever.
+    # Readers keep the documented contract: finish a snapshot's scan
+    # within one catalog commit of any kind.
+    for name in cat.pop("tombstones", []):
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     seg_name = f"seg-{_next_seg_id(cat):05d}"
     seg_dir = os.path.join(path, seg_name)
     if os.path.exists(seg_dir):
@@ -1265,7 +1318,9 @@ def read_catalog(spark, path: str, cat: dict | None = None) -> list[dict]:
     for r in meta_rows:
         for s in cat["segments"]:
             if f"/{s['name']}/" in r["_file"]:
-                by_seg[s["name"]] = (r["num_docs"], r["avg_doc_len"])
+                by_seg[s["name"]] = (
+                    r["num_docs"], r["avg_doc_len"], r["total_terms"],
+                )
                 break
     return [
         read_index(
