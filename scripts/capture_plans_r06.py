@@ -102,6 +102,36 @@ def main() -> None:
             serve_catalog_cached(spark, work, BM25_QUERIES, cache_path,
                                  k=10),
         )
+
+        # The hit-detection query runs EAGERLY inside get_performance
+        # (its result is a driver set), so the served-results plan
+        # above cannot show it.  Capture it directly: the r6 shape is
+        # wanted-keys broadcast-semi-joined INTO the cache; the r5
+        # shape (reconstructed verbatim from result_cache.py@990bff3:
+        # ``cached.select("cache_key").distinct()``) scanned and
+        # distinct-ed EVERY cached key.
+        from efficient_query_expansion_spark.operators.cnf import (
+            query_repr_to_cnf_string,
+        )
+        from efficient_query_expansion_spark.operators.result_cache import (
+            RESULTS_SCHEMA,
+        )
+
+        cached = spark.read.schema(RESULTS_SCHEMA).parquet(cache_path)
+        if TAG == "before":
+            dump("cached_hit_check",
+                 cached.select("cache_key").distinct())
+        else:
+            want = spark.createDataFrame(
+                [(query_repr_to_cnf_string(r),)
+                 for r in BM25_QUERIES.values()],
+                "cache_key string",
+            )
+            dump(
+                "cached_hit_check",
+                cached.join(F.broadcast(want), "cache_key", "left_semi")
+                .select("cache_key").distinct(),
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     spark.stop()
