@@ -28,6 +28,13 @@ RESULTS_SCHEMA = (
     " score double, rank int, num_ret long, exe_time double"
 )
 
+# batches up to this many distinct keys push them into the cache scan
+# as an In filter (predicate pushdown, zero broadcast jobs); larger
+# batches broadcast-semi-join so the plan never carries a huge
+# literal list. Keys are long strings (lineage + CNF), so keep the
+# literal path modest.
+IN_FILTER_MAX_KEYS = 256
+
 
 class ResultCache:
     """Persisted CNF→result cache (parquet segment per flush).
@@ -70,21 +77,28 @@ class ResultCache:
         cached = self._load()
         hit_keys: set[str] = set()
         if cached is not None:
-            # hit detection is O(batch), not O(cache) (round 6): the
-            # batch's wanted keys broadcast-semi-join INTO the cache
-            # table and only matching keys come back — the former
-            # collect of EVERY distinct cached key pulled all dead
-            # lineages to the driver on each serving batch and grew
-            # without bound (r5 "what's wrong" #1)
-            want = self.spark.createDataFrame(
-                [(k_,) for k_ in set(keys.values())],
-                "cache_key string",
-            )
+            # hit detection is O(batch), not O(cache) (round 6): only
+            # the batch's own keys are looked up and come back — the
+            # former collect of EVERY distinct cached key pulled all
+            # dead lineages to the driver on each serving batch and
+            # grew without bound (r5 "what's wrong" #1). Small batches
+            # push the keys into the parquet scan as an In filter
+            # (PushedFilters prunes row groups, no broadcast
+            # materialization job); large batches broadcast-semi-join
+            # instead of bloating the plan with a huge literal list.
+            want = sorted(set(keys.values()))
+            if len(want) <= IN_FILTER_MAX_KEYS:
+                hits = cached.where(F.col("cache_key").isin(want))
+            else:
+                want_df = self.spark.createDataFrame(
+                    [(k_,) for k_ in want], "cache_key string"
+                )
+                hits = cached.join(
+                    F.broadcast(want_df), "cache_key", "left_semi"
+                )
             hit_keys = {
                 r["cache_key"]
-                for r in cached.join(F.broadcast(want), "cache_key",
-                                     "left_semi")
-                .select("cache_key").distinct().collect()
+                for r in hits.select("cache_key").distinct().collect()
             }
         # one representative qid per missing cache_key: two caller
         # qids with the same canonical CNF must not both be evaluated
@@ -137,10 +151,14 @@ class ResultCache:
                 self.path
             )
         result = self._load()
-        want_keys = self.spark.createDataFrame(
-            [(k_,) for k_ in set(keys.values())], "cache_key string"
-        )
-        out = result.join(F.broadcast(want_keys), "cache_key")
+        # restriction to the batch's keys comes from the inner
+        # key_map join below (its key set IS the wanted set); the In
+        # filter just pushes it into the parquet scan for small
+        # batches. A separate wanted-keys semi-join would be a
+        # redundant broadcast per serving batch.
+        want = sorted(set(keys.values()))
+        if len(want) <= IN_FILTER_MAX_KEYS:
+            result = result.where(F.col("cache_key").isin(want))
         # remap cache keys back to the caller's qids (a key may have
         # been cached under a different qid in a previous run)
         key_map = self.spark.createDataFrame(
@@ -148,7 +166,7 @@ class ResultCache:
             "cache_key string, out_qid int",
         )
         return (
-            out.where(F.col("rank").isNotNull())  # drop empty markers
+            result.where(F.col("rank").isNotNull())  # drop empty markers
             .join(F.broadcast(key_map), "cache_key")
             .drop("qid")
             .withColumnRenamed("out_qid", "qid")

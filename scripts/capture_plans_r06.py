@@ -105,9 +105,11 @@ def main() -> None:
 
         # The hit-detection query runs EAGERLY inside get_performance
         # (its result is a driver set), so the served-results plan
-        # above cannot show it.  Capture it directly: the r6 shape is
-        # wanted-keys broadcast-semi-joined INTO the cache; the r5
-        # shape (reconstructed verbatim from result_cache.py@990bff3:
+        # above cannot show it.  Capture it directly: the r6 shape
+        # for a small batch pushes the wanted keys into the cache
+        # scan as an In filter (large batches broadcast-semi-join —
+        # see IN_FILTER_MAX_KEYS); the r5 shape (reconstructed
+        # verbatim from result_cache.py@990bff3:
         # ``cached.select("cache_key").distinct()``) scanned and
         # distinct-ed EVERY cached key.
         from efficient_query_expansion_spark.operators.cnf import (
@@ -122,14 +124,13 @@ def main() -> None:
             dump("cached_hit_check",
                  cached.select("cache_key").distinct())
         else:
-            want = spark.createDataFrame(
-                [(query_repr_to_cnf_string(r),)
-                 for r in BM25_QUERIES.values()],
-                "cache_key string",
+            want = sorted(
+                query_repr_to_cnf_string(r)
+                for r in BM25_QUERIES.values()
             )
             dump(
                 "cached_hit_check",
-                cached.join(F.broadcast(want), "cache_key", "left_semi")
+                cached.where(F.col("cache_key").isin(want))
                 .select("cache_key").distinct(),
             )
     finally:

@@ -178,6 +178,36 @@ def test_result_cache_hit_check_is_o_batch(spark, tmp_path):
     assert cache.get_performance(reprs, lambda: 1 / 0, k=3).count() == 3
 
 
+def test_hit_check_branches_identical(spark, tmp_path, monkeypatch):
+    """The small-batch In-filter hit check and the large-batch
+    broadcast-semi-join must serve identically (round-6 warm-path
+    follow-up: the In filter pushes into the parquet scan and skips
+    the broadcast materialization job)."""
+    from efficient_query_expansion_spark.operators import result_cache
+
+    t = _skew_corpus(spark, n_docs=60)
+    idx = build_index(t, num_partitions=1)
+    path = str(tmp_path / "rc")
+    reprs = {0: [[[("hotzz",)]]], 1: [[[("fa01",)]]]}
+    result_cache.ResultCache(spark, path).get_performance(
+        reprs, idx, k=3
+    )
+
+    cache = result_cache.ResultCache(spark, path)
+    via_in = cache.get_performance(reprs, lambda: 1 / 0, k=3).collect()
+    monkeypatch.setattr(result_cache, "IN_FILTER_MAX_KEYS", 0)
+    via_semi = cache.get_performance(reprs, lambda: 1 / 0, k=3).collect()
+
+    def norm(rows):
+        return sorted(
+            (r["qid"], r["rank"], r["conv_id"], r["turn_idx"],
+             r["score"])
+            for r in rows
+        )
+
+    assert norm(via_in) == norm(via_semi) and len(via_in) > 0
+
+
 def test_serve_catalog_cached_prunes_on_rotation(spark, tmp_path):
     """serve_catalog_cached detects a lineage rotation via the O(1)
     marker and compacts dead rows away exactly once."""
