@@ -365,7 +365,7 @@ def build_index(
     materialize_dir: str | None = None,
     codec: str = "pfor",
     num_partitions: int | None = None,
-    persist_tdf: str | None = None,
+    persist_tdf: str | None = "disk_only",
 ) -> dict[str, DataFrame]:
     """Full index build. Returns dict of DataFrames:
 
@@ -386,14 +386,22 @@ def build_index(
     """
     spark = transcripts.sparkSession
     toks = with_tokens(with_norm_text(transcripts))
-    # NOTE deliberately no .persist() on toks/tdf: building a columnar
-    # cache of 10^7 token arrays is a serial allocation/GC tax that
+    # NOTE deliberately no .persist() on toks: building a columnar
+    # cache of 10^7 token ARRAYS is a serial allocation/GC tax that
     # dominated the build (measured ~13s unscalable per cache at 500k
-    # turns). With ``materialize_dir`` the tokenized corpus is instead
+    # turns). The SCALAR (term, doc, tf) rows derived from it are a
+    # different story: tdf feeds three consumers (dictionary, doc
+    # ordinals via doc_lens share toks, posting assembly) and
+    # recomputing the tokenize+tf lineage per consumer cost 37k
+    # turns/s vs 58k with tdf persisted DISK_ONLY (serialized local
+    # spill, no executor-heap pressure — scripts/exp_build_r06.py);
+    # build_index_from_tdf persists it by default and the frame rides
+    # index["_persisted"] for the caller to release. With
+    # ``materialize_dir`` the tokenized corpus is instead
     # written once as parquet and re-read — a parallel, compressed
     # intermediate table (what a production pipeline checkpoints to
     # Iceberg), so downstream consumers scan it instead of recomputing
-    # normalization. Only small aggregates use executor caches.
+    # normalization.
     if materialize_dir is not None:
         toks_path = f"{materialize_dir}/toks"
         toks.write.mode("overwrite").parquet(toks_path)
@@ -423,7 +431,7 @@ def build_index_from_tdf(
     doc_key: list[str] = DOC_KEY,
     codec: str = "pfor",
     num_partitions: int | None = None,
-    persist_tdf: str | None = None,
+    persist_tdf: str | None = "disk_only",
 ) -> dict[str, DataFrame]:
     """Index-build core over pre-computed parts: ``doc_lens`` =
     (doc_key, doc_len), ``tdf`` = (term, doc_key, tf) including any
